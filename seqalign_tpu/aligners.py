@@ -1,0 +1,144 @@
+"""High-level aligner API: the TPU-native equivalent of the reference's
+``needleman_wunsch_{new,align}`` / ``smith_waterman_{new,align,fetch}``
+surface (needleman_wunsch.h:22-32, smith_waterman.h:21-39).
+
+Single-pair calls run the batched device fill with batch=1; ``*_align_batch``
+aligns many pairs per device program (the reference aligns pairs serially in
+a callback loop, alignment_cmdline.c:611-622 — batching is the TPU-native
+replacement).  Shapes are padded to powers of two so repeated calls with
+similar lengths reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .ops import dp
+from .ops.traceback import Alignment, SwHitIterator, nw_start, nw_traceback
+from .scoring.config import ScoringConfig
+from .scoring.presets import scoring_system_default, scoring_system_sw_default
+
+
+class NeedlemanWunsch:
+    """Global affine-gap aligner (Gotoh), reference parity incl. traceback."""
+
+    def __init__(self, scoring: Optional[ScoringConfig] = None):
+        self.scoring = scoring if scoring is not None else scoring_system_default()
+
+    def align(self, seq_a: str, seq_b: str) -> Alignment:
+        return self.align_batch([seq_a], [seq_b])[0]
+
+    def align_batch(
+        self, seqs_a: Sequence[str], seqs_b: Sequence[str]
+    ) -> List[Alignment]:
+        out, na, nb = dp.fill_batch(
+            self.scoring, seqs_a, seqs_b, is_sw=False, emit_dirs=True,
+            pow2_pad=True,
+        )
+        dirs = np.asarray(out.dirs)
+        corner = np.asarray(out.corner)
+        return [
+            nw_traceback(sa, sb, na[i], nb[i], dirs[i], corner[i])
+            for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b))
+        ]
+
+    def score(self, seq_a: str, seq_b: str) -> int:
+        return int(self.score_batch([seq_a], [seq_b])[0])
+
+    def score_batch(self, seqs_a, seqs_b) -> np.ndarray:
+        """Scores only — no O(n*m) materialization, pure device compute."""
+        out, _, _ = dp.fill_batch(
+            self.scoring, seqs_a, seqs_b, is_sw=False, emit_dirs=False,
+            pow2_pad=True,
+        )
+        return np.asarray(out.corner).max(axis=1)
+
+    def matrices(self, seq_a: str, seq_b: str):
+        """Full (M, Ga, Gb) row-major matrices for --printmatrices parity."""
+        out, na, nb = dp.fill_batch(
+            self.scoring, [seq_a], [seq_b], is_sw=False, emit_dirs=False,
+            emit_m=True, emit_gab=True,
+        )
+        return _deskew_all(self.scoring, out, int(na[0]), int(nb[0]), is_sw=False)
+
+
+class SmithWaterman:
+    """Local multi-hit aligner; ``align`` returns a stateful hit iterator."""
+
+    def __init__(self, scoring: Optional[ScoringConfig] = None):
+        self.scoring = scoring if scoring is not None else scoring_system_sw_default()
+
+    def align(self, seq_a: str, seq_b: str) -> SwHitIterator:
+        return self.align_batch([seq_a], [seq_b])[0]
+
+    def align_batch(self, seqs_a, seqs_b) -> List[SwHitIterator]:
+        out, na, nb = dp.fill_batch(
+            self.scoring, seqs_a, seqs_b, is_sw=True, emit_dirs=True,
+            emit_m=True, pow2_pad=True,
+        )
+        dirs = np.asarray(out.dirs)
+        mmat = np.asarray(out.mmat)
+        return [
+            SwHitIterator(
+                self.scoring, sa, sb, int(na[i]), int(nb[i]), dirs[i], mmat[i]
+            )
+            for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b))
+        ]
+
+    def best_score(self, seq_a: str, seq_b: str) -> int:
+        return int(self.best_score_batch([seq_a], [seq_b])[0])
+
+    def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
+        out, _, _ = dp.fill_batch(
+            self.scoring, seqs_a, seqs_b, is_sw=True, emit_dirs=False,
+            pow2_pad=True,
+        )
+        return np.asarray(out.best)
+
+    def matrices(self, seq_a: str, seq_b: str):
+        out, na, nb = dp.fill_batch(
+            self.scoring, [seq_a], [seq_b], is_sw=True, emit_dirs=False,
+            emit_m=True, emit_gab=True,
+        )
+        return _deskew_all(self.scoring, out, int(na[0]), int(nb[0]), is_sw=True)
+
+
+def _deskew_all(sc: ScoringConfig, out: dp.DPOutputs, na: int, nb: int, *, is_sw):
+    """Rebuild row-major matrices incl. the closed-form boundary row/col
+    (alignment.c:51-81) the wavefront never materializes."""
+    mn = sc.dp_floor(is_sw)
+    M = dp.deskew(np.asarray(out.mmat)[0], na, nb, fill=mn)
+    Ga = dp.deskew(np.asarray(out.gamat)[0], na, nb, fill=mn)
+    Gb = dp.deskew(np.asarray(out.gbmat)[0], na, nb, fill=mn)
+    if is_sw:
+        M[0, :] = Ga[0, :] = Gb[0, :] = 0
+        M[1:, 0] = Ga[1:, 0] = Gb[1:, 0] = mn  # == 0
+        M[0, 0] = Ga[0, 0] = Gb[0, 0] = 0
+    else:
+        xs = np.arange(1, na + 1, dtype=np.int64)
+        ys = np.arange(1, nb + 1, dtype=np.int64)
+        run_x = 0 if sc.no_start_gap_penalty else sc.gap_open + xs * sc.gap_extend
+        run_y = 0 if sc.no_start_gap_penalty else sc.gap_open + ys * sc.gap_extend
+        M[0, 1:] = Ga[0, 1:] = mn
+        Gb[0, 1:] = run_x
+        M[1:, 0] = Gb[1:, 0] = mn
+        Ga[1:, 0] = run_y
+        M[0, 0] = Ga[0, 0] = Gb[0, 0] = 0
+    return M, Ga, Gb
+
+
+def lcs_hits(seq: str, case_sensitive: bool = True):
+    """Longest-common-substring enumeration of a sequence against itself:
+    constrained SW per lcs_cmdline.c:39-64 (match 1 / mismatch -1 / open -4 /
+    extend -1, no gaps, no mismatches); yields only pos_a < pos_b hits."""
+    sc = ScoringConfig(
+        1, -1, -4, -1,
+        no_gaps_in_a=True, no_gaps_in_b=True, no_mismatches=True,
+        case_sensitive=case_sensitive,
+    )
+    sw = SmithWaterman(sc)
+    for hit in sw.align(seq, seq):
+        if hit.pos_a < hit.pos_b:
+            yield hit

@@ -1,0 +1,409 @@
+"""Batched anti-diagonal wavefront DP (Gotoh three-matrix) in pure JAX.
+
+TPU-first redesign of the reference's scalar row-major fill
+(``/root/reference/src/alignment.c:28-168``): cells on one anti-diagonal
+``d = x + y`` are independent (the recurrence only reads ``[y-1][x-1]``,
+``[y-1][x]``, ``[y][x-1]``), so the fill becomes a ``lax.scan`` over
+diagonals whose per-step work is a dense ``(batch, lanes)`` vector update —
+the batch dimension and the diagonal lanes together keep the VPU full.
+
+Differences from the reference by design (semantics preserved exactly):
+
+* The reference stores three full int32 matrices and *recomputes* score
+  equalities during traceback (alignment.c:244-350).  We instead emit packed
+  2-bit-per-matrix **direction codes** during the fill, computed with the
+  traceback's own guard/equality/priority procedure (GAP_A > GAP_B > MATCH,
+  alignment.c:311-327), so host traceback is a pure O(path) pointer chase and
+  provably picks the identical path in every tie case.
+* Matrices live in a **skewed (diagonal-major) layout**: row ``r`` holds
+  diagonal ``d = r + 2``; cell ``(y, x)`` maps to ``[x + y - 2, y]``.  This is
+  the layout the wavefront writes natively (contiguous stores per step).
+* Everything is batched: ``B`` pairs padded to ``(LA, LB)`` fill in one
+  program; per-pair true lengths ``na/nb`` drive the last-row/last-column
+  special cases (free end gaps, alignment.c:122-127,140-145; no-gaps
+  exceptions, alignment.c:128-137,146-155) as lane masks.
+
+Scoring reaches the kernel as a dense 256x256 LUT (see
+``seqalign_tpu.scoring.config``); substitution scores for every cell are
+gathered once into the skewed layout up front, so the scan body is pure
+int32 arithmetic with no lookups.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scoring.config import ScoringConfig, encode
+
+MATCH, GAP_A, GAP_B, DIR_FAIL = 0, 1, 2, 3
+
+
+class DPOutputs(NamedTuple):
+    """Device results of a batched fill.
+
+    corner: (B, 3) int32 — M/Ga/Gb at (nb, na) per pair (NW start cell).
+    best:   (B,) int32 — max M over valid interior cells (SW best score).
+    dirs:   (B, D, LB+1) uint8 skewed packed direction codes, or None.
+    mmat:   (B, D, LB+1) int32 skewed MATCH matrix, or None.
+    gamat/gbmat: skewed GAP_A/GAP_B matrices (for matrix dumps), or None.
+    """
+
+    corner: jnp.ndarray
+    best: jnp.ndarray
+    dirs: Optional[jnp.ndarray]
+    mmat: Optional[jnp.ndarray]
+    gamat: Optional[jnp.ndarray]
+    gbmat: Optional[jnp.ndarray]
+
+
+def _max3(a, b, c):
+    return jnp.maximum(a, jnp.maximum(b, c))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_sw",
+        "nsg",
+        "neg",
+        "nga",
+        "ngb",
+        "nmm",
+        "emit_dirs",
+        "emit_m",
+        "emit_gab",
+    ),
+)
+def dp_fill(
+    a,  # (B, LA) uint8 raw sequence bytes (LUT bakes in case folding)
+    b,  # (B, LB) uint8
+    na,  # (B,) int32 true lengths
+    nb,  # (B,) int32
+    sub_flat,  # (65536,) int32 flattened 256x256 substitution LUT
+    match_flat,  # (65536,) bool flattened is-match LUT
+    gap_open,  # scalar int32 (the reference's gap_open: EXTRA cost of opening)
+    gap_extend,  # scalar int32
+    mn,  # scalar int32 DP floor: 0 for SW, NEG_INF sentinel for NW
+    *,
+    is_sw: bool,
+    nsg: bool,  # no_start_gap_penalty
+    neg: bool,  # no_end_gap_penalty
+    nga: bool,  # no_gaps_in_a
+    ngb: bool,  # no_gaps_in_b
+    nmm: bool,  # no_mismatches
+    emit_dirs: bool,
+    emit_m: bool,
+    emit_gab: bool,
+) -> DPOutputs:
+    B, LA = a.shape
+    _, LB = b.shape
+    LBp = LB + 1
+    D = LA + LB - 1  # diagonals d = 2 .. LA+LB
+
+    i32 = jnp.int32
+    gap_open = jnp.asarray(gap_open, i32)
+    gap_extend = jnp.asarray(gap_extend, i32)
+    mn = jnp.asarray(mn, i32)
+    gop = gap_open + gap_extend  # gap_open_penalty (alignment.c:38)
+    na = na.astype(i32)
+    nb = nb.astype(i32)
+
+    yv = jnp.arange(LBp, dtype=i32)  # lane -> y coordinate
+
+    # ---- skewed substitution scores: ss[r, :, y] = sub(a[x-1], b[y-1]),
+    # x = (r+2) - y.  One gather up front; the scan body does no lookups.
+    r = jnp.arange(D, dtype=i32)[:, None]  # (D, 1)
+    xm1 = r + 1 - yv[None, :]  # (D, LBp) = x - 1
+    aidx = jnp.clip(xm1, 0, LA - 1)
+    bidx = jnp.clip(yv - 1, 0, LB - 1)  # (LBp,)
+    a_sk = jnp.take(a.astype(i32), aidx, axis=1)  # (B, D, LBp)
+    b_sel = jnp.take(b.astype(i32), bidx, axis=1)  # (B, LBp)
+    pair_idx = a_sk * 256 + b_sel[:, None, :]  # (B, D, LBp)
+    ss_all = jnp.take(sub_flat, pair_idx).transpose(1, 0, 2)  # (D, B, LBp)
+    if nmm:
+        im_all = jnp.take(match_flat, pair_idx).transpose(1, 0, 2)
+    else:
+        im_all = None
+
+    nax = na[:, None]  # (B, 1)
+    nbx = nb[:, None]
+
+    def boundary_vals(d):
+        """Row/col-0 init values for diagonal d (alignment.c:51-81)."""
+        if is_sw:
+            z = jnp.zeros((B, 1), i32)
+            return (z, z, z), (z, z, z)
+        if nsg:
+            gaprun = jnp.zeros((B, 1), i32)
+        else:
+            gaprun = jnp.broadcast_to(gap_open + d * gap_extend, (B, 1))
+        mncol = jnp.full((B, 1), mn, i32)
+        lane0 = (mncol, mncol, gaprun)  # cell (0, d): M, Ga, Gb
+        laned = (mncol, gaprun, mncol)  # cell (d, 0)
+        return lane0, laned
+
+    def inject(d, Mv, Gav, Gbv):
+        lane0, laned = boundary_vals(d)
+        at0 = yv[None, :] == 0
+        atd = yv[None, :] == d
+        Mv = jnp.where(at0, lane0[0], jnp.where(atd, laned[0], Mv))
+        Gav = jnp.where(at0, lane0[1], jnp.where(atd, laned[1], Gav))
+        Gbv = jnp.where(at0, lane0[2], jnp.where(atd, laned[2], Gbv))
+        return Mv, Gav, Gbv
+
+    def corner_at(d, Mv, Gav, Gbv, corner):
+        hit = (na + nb) == d  # (B,)
+        idx = jnp.clip(nb, 0, LB)[:, None]
+        take = lambda v: jnp.take_along_axis(v, idx, axis=1)[:, 0]
+        vals = jnp.stack([take(Mv), take(Gav), take(Gbv)], axis=1)
+        return jnp.where(hit[:, None], vals, corner)
+
+    # ---- init: diagonals d=0 (just cell (0,0)) and d=1.
+    mnvec = jnp.full((B, LBp), mn, i32)
+    zerov = jnp.where(yv[None, :] == 0, 0, mn)
+    m0 = jnp.broadcast_to(zerov, (B, LBp))  # (0,0) = 0 in all three
+    d0 = (m0, m0, m0)
+    d1 = inject(jnp.asarray(1, i32), mnvec, mnvec, mnvec)
+
+    corner = jnp.zeros((B, 3), i32)
+    corner = corner_at(jnp.asarray(0, i32), *d0, corner)
+    corner = corner_at(jnp.asarray(1, i32), *d1, corner)
+    best = jnp.zeros((B,), i32)
+
+    def step(carry, xs):
+        pm2, pga2, pgb2, pm1, pga1, pgb1, corner, best = carry
+        if nmm:
+            dvar, ss, im = xs
+        else:
+            dvar, ss = xs
+            im = None
+        x = dvar - yv  # (LBp,) x coordinate per lane
+
+        fill = jnp.full((B, 1), mn, i32)
+        sh = lambda v: jnp.concatenate([fill, v[:, :-1]], axis=1)  # lane y-1
+        m2s, ga2s, gb2s = sh(pm2), sh(pga2), sh(pgb2)
+        m1s, ga1s, gb1s = sh(pm1), sh(pga1), sh(pgb1)
+
+        lastcol = x[None, :] == nax  # x == na
+        lastrow = yv[None, :] == nbx  # y == nb
+
+        # MATCH (alignment.c:89-119)
+        Mv = jnp.maximum(_max3(m2s, ga2s, gb2s) + ss, mn)
+        if nmm:
+            Mv = jnp.where(im, Mv, mn)  # alignment.c:101-104
+
+        # GAP_A: gap in seq_a, consumes b; reads diagonal d-1 at lane y-1
+        # (alignment.c:121-137)
+        ga_v = jnp.maximum(_max3(m1s + gop, ga1s + gap_extend, gb1s + gop), mn)
+        if neg:
+            ga_v = jnp.where(lastcol, _max3(m1s, ga1s, gb1s), ga_v)
+        if nga:
+            ga_v = jnp.where(lastcol, ga_v, mn)
+
+        # GAP_B: gap in seq_b, consumes a; reads diagonal d-1 at lane y
+        # (alignment.c:139-155)
+        gb_v = jnp.maximum(_max3(pm1 + gop, pga1 + gop, pgb1 + gap_extend), mn)
+        if neg:
+            gb_v = jnp.where(lastrow, _max3(pm1, pga1, pgb1), gb_v)
+        if ngb:
+            gb_v = jnp.where(lastrow, gb_v, mn)
+
+        if emit_dirs:
+            # Direction codes replicate alignment_reverse_move
+            # (alignment.c:244-350): guard -> equality -> priority
+            # GAP_A, GAP_B, MATCH.
+            xb = jnp.broadcast_to(x[None, :], lastcol.shape)
+            yb = jnp.broadcast_to(yv[None, :], lastrow.shape)
+
+            def pick(ga_ok, gb_ok, m_ok):
+                return jnp.where(
+                    ga_ok,
+                    GAP_A,
+                    jnp.where(gb_ok, GAP_B, jnp.where(m_ok, MATCH, DIR_FAIL)),
+                ).astype(jnp.int32)
+
+            # guards: no_gaps matrices reachable only at boundary coords
+            # (alignment.c:312-314,319-321)
+            def guard_a(pred_x_is0, pred_x_isn):
+                if not nga:
+                    return True
+                return pred_x_is0 | pred_x_isn
+
+            def guard_b(pred_y_is0, pred_y_ism):
+                if not ngb:
+                    return True
+                return pred_y_is0 | pred_y_ism
+
+            # current = MATCH: preds at (y-1, x-1), penalty = sub each
+            dm = pick(
+                guard_a(xb == 1, (xb - 1) == nax) & (ga2s + ss == Mv),
+                guard_b(yb == 1, (yb - 1) == nbx) & (gb2s + ss == Mv),
+                m2s + ss == Mv,
+            )
+            # current = GAP_A: preds at (y-1, x); end-gap rewrite when
+            # x == na (alignment.c:265-268)
+            if neg:
+                a_open = jnp.where(lastcol, 0, gop)
+                a_ext = jnp.where(lastcol, 0, gap_extend)
+            else:
+                a_open, a_ext = gop, gap_extend
+            dga = pick(
+                guard_a(xb == 0, lastcol) & (ga1s + a_ext == ga_v),
+                guard_b(yb == 1, (yb - 1) == nbx) & (gb1s + a_open == ga_v),
+                m1s + a_open == ga_v,
+            )
+            # current = GAP_B: preds at (y, x-1)
+            if neg:
+                b_open = jnp.where(lastrow, 0, gop)
+                b_ext = jnp.where(lastrow, 0, gap_extend)
+            else:
+                b_open, b_ext = gop, gap_extend
+            dgb = pick(
+                guard_a(xb == 1, (xb - 1) == nax) & (pga1 + b_open == gb_v),
+                guard_b(yb == 0, lastrow) & (pgb1 + b_ext == gb_v),
+                pm1 + b_open == gb_v,
+            )
+            dirrow = (dm | (dga << 2) | (dgb << 4)).astype(jnp.uint8)
+
+        Mv, ga_v, gb_v = inject(dvar, Mv, ga_v, gb_v)
+        corner = corner_at(dvar, Mv, ga_v, gb_v, corner)
+
+        valid = (yb_ := yv[None, :]) >= 1
+        valid = valid & (yb_ <= nbx) & (x[None, :] >= 1) & (x[None, :] <= nax)
+        best = jnp.maximum(best, jnp.max(jnp.where(valid, Mv, mn), axis=1))
+
+        ys = []
+        if emit_dirs:
+            ys.append(dirrow)
+        if emit_m:
+            ys.append(Mv)
+        if emit_gab:
+            ys.append(ga_v)
+            ys.append(gb_v)
+        carry = (pm1, pga1, pgb1, Mv, ga_v, gb_v, corner, best)
+        return carry, tuple(ys)
+
+    dvec = jnp.arange(2, LA + LB + 1, dtype=i32)
+    xs = (dvec, ss_all, im_all) if nmm else (dvec, ss_all)
+    carry0 = (*d0, *d1, corner, best)
+    carry, ys = jax.lax.scan(step, carry0, xs)
+    corner, best = carry[6], carry[7]
+
+    ys = list(ys)
+    tr = lambda v: v.transpose(1, 0, 2)  # (D, B, LBp) -> (B, D, LBp)
+    dirs = tr(ys.pop(0)) if emit_dirs else None
+    mmat = tr(ys.pop(0)) if emit_m else None
+    gamat = tr(ys.pop(0)) if emit_gab else None
+    gbmat = tr(ys.pop(0)) if emit_gab else None
+    return DPOutputs(corner, best, dirs, mmat, gamat, gbmat)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrapper
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def pad_batch(seqs, pad_to: Optional[int] = None):
+    """Encode + right-pad a list of sequences into a (B, L) uint8 array."""
+    enc = [encode(s) for s in seqs]
+    L = max((len(e) for e in enc), default=0)
+    L = max(1, L if pad_to is None else max(pad_to, L))
+    out = np.zeros((len(enc), L), dtype=np.uint8)
+    lens = np.zeros((len(enc),), dtype=np.int32)
+    for i, e in enumerate(enc):
+        out[i, : len(e)] = e
+        lens[i] = len(e)
+    return out, lens
+
+
+def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):
+    """Host-side equivalent of the reference's per-cell unknown-pair abort
+    (alignment_scoring.c:179-181): the DP evaluates every (char_a, char_b)
+    cross pair, so checking the unique-char cross product is exact."""
+    _, _, _, valid = sc.luts()
+    ua = np.unique(encode(seq_a))
+    ub = np.unique(encode(seq_b))
+    if len(ua) and len(ub):
+        bad = ~valid[np.ix_(ua, ub)]
+        if bad.any():
+            i, j = np.argwhere(bad)[0]
+            fold = sc.luts()[0]
+            raise ValueError(
+                "Unknown character pair (%c,%c) and match/mismatch have not "
+                "been set" % (chr(fold[ua[i]]), chr(fold[ub[j]]))
+            )
+
+
+def fill_batch(
+    sc: ScoringConfig,
+    seqs_a,
+    seqs_b,
+    *,
+    is_sw: bool,
+    emit_dirs: bool = True,
+    emit_m: bool = False,
+    emit_gab: bool = False,
+    pad_a: Optional[int] = None,
+    pad_b: Optional[int] = None,
+    pow2_pad: bool = False,
+    validate: bool = True,
+) -> tuple[DPOutputs, np.ndarray, np.ndarray]:
+    """Batched fill for python-level sequence lists.
+
+    Returns (device outputs, na, nb). Shapes are padded (optionally to powers
+    of two to bound recompilation across batches).
+    """
+    if validate:
+        for sa, sb in zip(seqs_a, seqs_b):
+            check_valid_pairs(sc, sa, sb)
+    a, na = pad_batch(seqs_a, pad_a)
+    b, nb = pad_batch(seqs_b, pad_b)
+    if pow2_pad:
+        a2, b2 = _next_pow2(a.shape[1]), _next_pow2(b.shape[1])
+        a = np.pad(a, ((0, 0), (0, a2 - a.shape[1])))
+        b = np.pad(b, ((0, 0), (0, b2 - b.shape[1])))
+    fold, sub, ismatch, _ = sc.luts()
+    out = dp_fill(
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.asarray(na),
+        jnp.asarray(nb),
+        jnp.asarray(sub.reshape(-1)),
+        jnp.asarray(ismatch.reshape(-1)),
+        np.int32(sc.gap_open),
+        np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(is_sw)),
+        is_sw=is_sw,
+        nsg=sc.no_start_gap_penalty,
+        neg=sc.no_end_gap_penalty,
+        nga=sc.no_gaps_in_a,
+        ngb=sc.no_gaps_in_b,
+        nmm=sc.no_mismatches,
+        emit_dirs=emit_dirs,
+        emit_m=emit_m,
+        emit_gab=emit_gab,
+    )
+    return out, na, nb
+
+
+def deskew(skewed: np.ndarray, na: int, nb: int, fill=0) -> np.ndarray:
+    """Convert one pair's skewed (D, LB+1) array back to (nb+1, na+1) row-major
+    [y][x] (for --printmatrices parity; boundary row/col must be filled by the
+    caller from closed-form init values)."""
+    out = np.full((nb + 1, na + 1), fill, dtype=skewed.dtype)
+    for y in range(1, nb + 1):
+        d0 = y + 1 - 2  # row index of x=1
+        out[y, 1 : na + 1] = skewed[d0 : d0 + na, y]
+    return out

@@ -1,0 +1,236 @@
+"""Host-side traceback from device-emitted direction codes.
+
+The reference walks its three full int32 matrices re-verifying score
+equalities at every step (alignment.c:244-350).  Our fill kernel already
+resolved every tie with the reference's exact guard/equality/priority
+procedure and packed the chosen predecessor into 2 bits per matrix
+(see ``ops.dp``), so traceback here is a pure O(path-length) pointer chase —
+no scoring lookups, no equality checks, bit-identical paths.
+
+Skewed addressing: cell (y, x) (x along seq_a, y along seq_b, both 1-based
+interior) lives at ``arr[x + y - 2, y]`` of a (D, LB+1) per-pair slice.
+
+SW multi-hit enumeration mirrors smith_waterman.c:131-277: candidates are
+all cells with M > 0 sorted by (score desc, x asc, flat-index asc); each
+emitted path marks every visited cell in a mask, and a walk that touches an
+already-visited cell aborts *leaving its partial marks in place*
+(smith_waterman.c:187-190).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..scoring.config import ScoringConfig, encode
+from .dp import DIR_FAIL, GAP_A, GAP_B, MATCH
+
+
+@dataclasses.dataclass
+class Alignment:
+    """Result record mirroring ``alignment_t`` (alignment.h:33-40)."""
+
+    result_a: str
+    result_b: str
+    score: int
+    pos_a: int = 0
+    pos_b: int = 0
+    len_a: int = 0
+    len_b: int = 0
+
+
+def _dir_at(dirs: np.ndarray, y: int, x: int, matrix: int) -> int:
+    code = int(dirs[x + y - 2, y])
+    return (code >> (2 * matrix)) & 3
+
+
+def nw_start(corner) -> tuple[int, int]:
+    """Start matrix preference GAP_A >= GAP_B >= MATCH over the corner cell
+    (needleman_wunsch.c:53-66). corner = (M, Ga, Gb) at (nb, na)."""
+    m, ga, gb = int(corner[0]), int(corner[1]), int(corner[2])
+    curr, score = MATCH, m
+    if gb >= score:
+        curr, score = GAP_B, gb
+    if ga >= score:
+        curr, score = GAP_A, ga
+    return curr, score
+
+
+def nw_traceback(
+    seq_a, seq_b, na: int, nb: int, dirs: np.ndarray, corner
+) -> Alignment:
+    """Rebuild the global alignment strings (needleman_wunsch.c:34-146)."""
+    a, b = encode(seq_a), encode(seq_b)
+    curr, score = nw_start(corner)
+    out_a, out_b = [], []
+    x, y = int(na), int(nb)
+    while x > 0 and y > 0:
+        if curr == MATCH:
+            out_a.append(chr(a[x - 1]))
+            out_b.append(chr(b[y - 1]))
+            nxt = _dir_at(dirs, y, x, MATCH)
+            x, y = x - 1, y - 1
+        elif curr == GAP_A:
+            out_a.append("-")
+            out_b.append(chr(b[y - 1]))
+            nxt = _dir_at(dirs, y, x, GAP_A)
+            y = y - 1
+        else:
+            out_a.append(chr(a[x - 1]))
+            out_b.append("-")
+            nxt = _dir_at(dirs, y, x, GAP_B)
+            x = x - 1
+        if nxt == DIR_FAIL:
+            raise RuntimeError(
+                "traceback fail: no predecessor matches (alignment.c:329-349)"
+            )
+        curr = nxt
+    # leading unaligned prefix as gap runs (needleman_wunsch.c:117-132)
+    while y > 0:
+        out_a.append("-")
+        out_b.append(chr(b[y - 1]))
+        y -= 1
+    while x > 0:
+        out_a.append(chr(a[x - 1]))
+        out_b.append("-")
+        x -= 1
+    ra = "".join(reversed(out_a))
+    rb = "".join(reversed(out_b))
+    return Alignment(ra, rb, score, 0, 0, len(a), len(b))
+
+
+class SwHitIterator:
+    """Stateful best-first local-hit enumerator (smith_waterman.c:131-277).
+
+    Built from one pair's device outputs: skewed M matrix + direction codes.
+    ``fetch()`` mirrors smith_waterman_fetch, including overlap masking and
+    partial-walk abort semantics.
+    """
+
+    def __init__(
+        self,
+        sc: ScoringConfig,
+        seq_a,
+        seq_b,
+        na: int,
+        nb: int,
+        dirs: np.ndarray,
+        mmat: np.ndarray,
+    ):
+        self.sc = sc
+        self.a, self.b = encode(seq_a), encode(seq_b)
+        self.na, self.nb = int(na), int(nb)
+        self.dirs = dirs
+        self.mmat = mmat
+        _, self.sub_lut, _, _ = sc.luts()
+        w = self.na + 1
+        self.w = w
+
+        # Candidates: interior cells with M > 0, best-first.  The reference
+        # sorts flat indices with a stable qsort on (score desc, x asc)
+        # (smith_waterman.c:71-86,153-161); full ties keep flat-index order.
+        ys, xs, scores = [], [], []
+        for y in range(1, self.nb + 1):
+            row = mmat[y - 1 : y - 1 + self.na, y]  # x = 1..na
+            pos = np.nonzero(row > 0)[0]
+            ys.append(np.full(len(pos), y, dtype=np.int64))
+            xs.append(pos + 1)
+            scores.append(row[pos].astype(np.int64))
+        if ys:
+            yc = np.concatenate(ys)
+            xc = np.concatenate(xs)
+            sc_ = np.concatenate(scores)
+            flat = yc * w + xc
+            order = np.lexsort((flat, xc, -sc_))
+            self.cand = flat[order]
+            self.cand_scores = sc_[order]
+        else:
+            self.cand = np.zeros(0, dtype=np.int64)
+            self.cand_scores = np.zeros(0, dtype=np.int64)
+        self.mask = np.zeros((self.nb + 1) * w, dtype=bool)
+        self.next_hit = 0
+
+    def _m_at(self, y: int, x: int) -> int:
+        if y == 0 or x == 0:
+            return 0  # SW boundary (alignment.c:51-57 with min == 0)
+        return int(self.mmat[x + y - 2, y])
+
+    def _penalty(self, curr: int, nxt: int, y: int, x: int) -> int:
+        """Score drop for one reverse move (alignment.c:264-307)."""
+        sc = self.sc
+        if curr == MATCH:
+            return int(self.sub_lut[self.a[x - 1], self.b[y - 1]])
+        gop = sc.gap_open + sc.gap_extend
+        ge = sc.gap_extend
+        if curr == GAP_A:
+            if sc.no_end_gap_penalty and x == self.na:
+                return 0
+            return ge if nxt == GAP_A else gop
+        if sc.no_end_gap_penalty and y == self.nb:
+            return 0
+        return ge if nxt == GAP_B else gop
+
+    def _follow_hit(self, flat: int) -> Optional[Alignment]:
+        w = self.w
+        x, y = int(flat % w), int(flat // w)
+        end_x, end_y = x, y
+        end_score = self._m_at(y, x)
+        curr, cs = MATCH, end_score
+        path = []
+        while True:
+            if self.mask[y * w + x]:
+                return None  # overlap abort; prior marks stay (sw.c:187-190)
+            self.mask[y * w + x] = True
+            if cs == 0:
+                break
+            path.append((curr, x, y))
+            nxt = _dir_at(self.dirs, y, x, curr)
+            if nxt == DIR_FAIL:
+                raise RuntimeError("sw traceback fail")
+            cs -= self._penalty(curr, nxt, y, x)
+            if curr == MATCH:
+                x, y = x - 1, y - 1
+            elif curr == GAP_A:
+                y -= 1
+            else:
+                x -= 1
+            curr = nxt
+        out_a, out_b = [], []
+        for q, px, py in path:
+            if q == MATCH:
+                out_a.append(chr(self.a[px - 1]))
+                out_b.append(chr(self.b[py - 1]))
+            elif q == GAP_A:
+                out_a.append("-")
+                out_b.append(chr(self.b[py - 1]))
+            else:
+                out_a.append(chr(self.a[px - 1]))
+                out_b.append("-")
+        return Alignment(
+            "".join(reversed(out_a)),
+            "".join(reversed(out_b)),
+            end_score,
+            pos_a=x,
+            pos_b=y,
+            len_a=end_x - x,
+            len_b=end_y - y,
+        )
+
+    def fetch(self) -> Optional[Alignment]:
+        while self.next_hit < len(self.cand):
+            flat = int(self.cand[self.next_hit])
+            self.next_hit += 1
+            if not self.mask[flat]:
+                hit = self._follow_hit(flat)
+                if hit is not None:
+                    return hit
+        return None
+
+    def __iter__(self) -> Iterator[Alignment]:
+        while True:
+            h = self.fetch()
+            if h is None:
+                return
+            yield h
