@@ -163,17 +163,20 @@ def dp_fill(
         vals = jnp.stack([take(Mv), take(Gav), take(Gbv)], axis=1)
         return jnp.where(hit[:, None], vals, corner)
 
-    # ---- init: diagonals d=0 (just cell (0,0)) and d=1.
-    mnvec = jnp.full((B, LBp), mn, i32)
+    # ---- init: diagonals d=0 (just cell (0,0)) and d=1.  Derive from the
+    # batch inputs (zb) so the scan carry is mesh-varying under shard_map.
+    zb = jnp.zeros_like(na)[:, None]  # (B, 1) int32
+    mnvec = zb + mn
+    mnvec = jnp.broadcast_to(mnvec, (B, LBp)) + jnp.zeros((1, LBp), i32)
     zerov = jnp.where(yv[None, :] == 0, 0, mn)
-    m0 = jnp.broadcast_to(zerov, (B, LBp))  # (0,0) = 0 in all three
+    m0 = zerov + zb  # (0,0) = 0 in all three
     d0 = (m0, m0, m0)
     d1 = inject(jnp.asarray(1, i32), mnvec, mnvec, mnvec)
 
-    corner = jnp.zeros((B, 3), i32)
+    corner = zb + jnp.zeros((1, 3), i32)
     corner = corner_at(jnp.asarray(0, i32), *d0, corner)
     corner = corner_at(jnp.asarray(1, i32), *d1, corner)
-    best = jnp.zeros((B,), i32)
+    best = jnp.zeros_like(na)
 
     def step(carry, xs):
         pm2, pga2, pgb2, pm1, pga1, pgb1, corner, best = carry

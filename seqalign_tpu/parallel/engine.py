@@ -1,0 +1,97 @@
+"""Multi-chip scale-out: data-parallel pair-batch sharding over a device mesh.
+
+The reference is single-process/single-thread (SURVEY.md §2.4) — distributed
+execution is new capability, built the TPU way: a 1-D ``jax.sharding.Mesh``
+over all chips (ICI within a slice, DCN across hosts), the pair batch sharded
+over the ``pairs`` axis with ``shard_map``, scoring LUTs replicated (they are
+<=256KB), and results returned still sharded so the host gathers only what it
+reads.  No collectives are needed in the forward fill — pairwise alignment is
+embarrassingly parallel over pairs, which is exactly why the mesh axis rides
+the batch dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import dp
+from ..scoring.config import ScoringConfig
+
+try:  # jax >= 0.4.35 moved shard_map out of experimental
+    from jax.sharding import shard_map  # type: ignore
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "pairs") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _flags(sc: ScoringConfig, is_sw: bool) -> dict:
+    return dict(
+        is_sw=is_sw,
+        nsg=sc.no_start_gap_penalty,
+        neg=sc.no_end_gap_penalty,
+        nga=sc.no_gaps_in_a,
+        ngb=sc.no_gaps_in_b,
+        nmm=sc.no_mismatches,
+    )
+
+
+def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
+                          axis: str = "pairs"):
+    """Compile fn(a, b, na, nb) -> (B,) int32 optimal scores, with the pair
+    batch sharded across the mesh. B must divide by the mesh size."""
+    fold, sub, ismatch, _ = sc.luts()
+    sub_flat = jnp.asarray(sub.reshape(-1))
+    match_flat = jnp.asarray(ismatch.reshape(-1))
+    flags = _flags(sc, is_sw)
+    go = np.int32(sc.gap_open)
+    ge = np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(is_sw))
+
+    def local_fill(a, b, na, nb):
+        out = dp.dp_fill(
+            a, b, na, nb, sub_flat, match_flat, go, ge, mn,
+            emit_dirs=False, emit_m=False, emit_gab=False, **flags,
+        )
+        if is_sw:
+            return out.best
+        return jnp.max(out.corner, axis=1)
+
+    sharded = shard_map(
+        local_fill,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                        mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Host convenience: pad + pad batch to mesh multiple, run, unpad."""
+    mesh = mesh if mesh is not None else make_mesh()
+    n = len(seqs_a)
+    nd = mesh.devices.size
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    rem = (-n) % nd
+    if rem:
+        a = np.pad(a, ((0, rem), (0, 0)))
+        b = np.pad(b, ((0, rem), (0, 0)))
+        na = np.pad(na, (0, rem))
+        nb = np.pad(nb, (0, rem))
+    fn = make_sharded_score_fn(sc, mesh, is_sw=is_sw)
+    scores = np.asarray(fn(jnp.asarray(a), jnp.asarray(b),
+                           jnp.asarray(na), jnp.asarray(nb)))
+    return scores[:n]

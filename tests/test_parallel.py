@@ -1,0 +1,49 @@
+"""Sharded (8-virtual-device mesh) batch scoring must agree with the
+single-device path and the numpy oracle."""
+
+import numpy as np
+
+from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+from seqalign_tpu.ops import oracle
+from seqalign_tpu.parallel.engine import make_mesh, sharded_score_batch
+from seqalign_tpu.scoring.presets import (
+    scoring_system_default,
+    scoring_system_sw_default,
+)
+
+
+def _rand_pairs(n, rng, maxlen=40):
+    pairs = []
+    for _ in range(n):
+        la, lb = rng.integers(1, maxlen, 2)
+        pairs.append((
+            "".join(rng.choice(list("acgt"), la)),
+            "".join(rng.choice(list("acgt"), lb)),
+        ))
+    return pairs
+
+
+def test_sharded_nw_scores_match():
+    rng = np.random.default_rng(7)
+    pairs = _rand_pairs(13, rng)  # deliberately not a multiple of 8
+    sc = scoring_system_default()
+    mesh = make_mesh(8)
+    got = sharded_score_batch(sc, [a for a, _ in pairs], [b for _, b in pairs],
+                              is_sw=False, mesh=mesh)
+    want = NeedlemanWunsch(sc).score_batch([a for a, _ in pairs],
+                                           [b for _, b in pairs])
+    np.testing.assert_array_equal(got, want)
+    for (a, b), s in zip(pairs, got):
+        assert oracle.nw_align(sc, a, b)[2] == s
+
+
+def test_sharded_sw_best_scores_match():
+    rng = np.random.default_rng(8)
+    pairs = _rand_pairs(8, rng)
+    sc = scoring_system_sw_default()
+    mesh = make_mesh(8)
+    got = sharded_score_batch(sc, [a for a, _ in pairs], [b for _, b in pairs],
+                              is_sw=True, mesh=mesh)
+    want = SmithWaterman(sc).best_score_batch([a for a, _ in pairs],
+                                              [b for _, b in pairs])
+    np.testing.assert_array_equal(got, want)
