@@ -11,7 +11,10 @@ meshes.
 
 __version__ = "1.0.0"  # tracks reference SEQ_ALIGN_VERSION_STR (seq_align.h:12)
 
+from .aligners import NeedlemanWunsch, SmithWaterman, lcs_hits
+from .ops.traceback import Alignment
 from .scoring.config import GAP_A, GAP_B, MATCH, ScoringConfig, encode
+from .scoring.loader import load_matrix, load_pairwise
 from .scoring.presets import (
     PRESETS,
     scoring_system_BLOSUM62,
@@ -24,6 +27,12 @@ from .scoring.presets import (
 )
 
 __all__ = [
+    "Alignment",
+    "NeedlemanWunsch",
+    "SmithWaterman",
+    "lcs_hits",
+    "load_matrix",
+    "load_pairwise",
     "GAP_A",
     "GAP_B",
     "MATCH",

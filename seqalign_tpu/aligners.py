@@ -15,10 +15,57 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from .ops import dp
 from .ops.traceback import Alignment, SwHitIterator, nw_start, nw_traceback
 from .scoring.config import ScoringConfig
 from .scoring.presets import scoring_system_default, scoring_system_sw_default
+
+
+def _pallas_eligible(sc: ScoringConfig) -> bool:
+    """The Pallas scores kernel covers the default-flags fast path with
+    gap_open <= 0 on a real accelerator; everything else uses the XLA path."""
+    if jax.default_backend() == "cpu":
+        return False
+    return not (
+        sc.no_start_gap_penalty or sc.no_end_gap_penalty or sc.no_gaps_in_a
+        or sc.no_gaps_in_b or sc.no_mismatches
+    ) and sc.gap_open <= 0
+
+
+def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
+    """Scores-only batch dispatch: Pallas kernel when eligible, XLA scan
+    otherwise.  Bit-identical results either way (tests/test_pallas.py)."""
+    for sa, sb in zip(seqs_a, seqs_b):
+        dp.check_valid_pairs(sc, sa, sb)
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    use_pallas = _pallas_eligible(sc) and min(na.min(initial=1),
+                                              nb.min(initial=1)) >= 1
+    if use_pallas:
+        from .ops.pallas_dp import pallas_scores
+
+        la = max(128, dp._next_pow2(a.shape[1]))
+        lb = max(128, dp._next_pow2(b.shape[1]))
+        a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
+        b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
+        ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+        out = pallas_scores(
+            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+            jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK),
+            np.int32(sc.gap_open), np.int32(sc.gap_extend),
+            np.int32(sc.dp_floor(is_sw)), is_sw=is_sw,
+        )
+        return np.asarray(out)
+    out, _, _ = dp.fill_batch(
+        sc, seqs_a, seqs_b, is_sw=is_sw, emit_dirs=False, pow2_pad=True,
+        validate=False,
+    )
+    if is_sw:
+        return np.asarray(out.best)
+    return np.asarray(out.corner).max(axis=1)
 
 
 class NeedlemanWunsch:
@@ -48,12 +95,9 @@ class NeedlemanWunsch:
         return int(self.score_batch([seq_a], [seq_b])[0])
 
     def score_batch(self, seqs_a, seqs_b) -> np.ndarray:
-        """Scores only — no O(n*m) materialization, pure device compute."""
-        out, _, _ = dp.fill_batch(
-            self.scoring, seqs_a, seqs_b, is_sw=False, emit_dirs=False,
-            pow2_pad=True,
-        )
-        return np.asarray(out.corner).max(axis=1)
+        """Scores only — no O(n*m) materialization, pure device compute
+        (Pallas wavefront kernel on TPU when eligible)."""
+        return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=False)
 
     def matrices(self, seq_a: str, seq_b: str):
         """Full (M, Ga, Gb) row-major matrices for --printmatrices parity."""
@@ -91,11 +135,7 @@ class SmithWaterman:
         return int(self.best_score_batch([seq_a], [seq_b])[0])
 
     def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
-        out, _, _ = dp.fill_batch(
-            self.scoring, seqs_a, seqs_b, is_sw=True, emit_dirs=False,
-            pow2_pad=True,
-        )
-        return np.asarray(out.best)
+        return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=True)
 
     def matrices(self, seq_a: str, seq_b: str):
         out, na, nb = dp.fill_batch(

@@ -1,0 +1,101 @@
+"""``needleman_wunsch`` CLI — byte-compatible with the reference
+``bin/needleman_wunsch`` (tools/nw_cmdline.c).  The Perl wrapper
+(perl/NeedlemanWunsch.pm) screen-scrapes this format, so it is a public API.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..aligners import NeedlemanWunsch
+from ..io.seqio import align_from_file
+from ..scoring.presets import scoring_system_default
+from ._common import (
+    NW_CMD,
+    alignment_spacer,
+    colour_print_against,
+    fold_eq,
+    parse_args,
+    print_matrices_str,
+)
+
+
+def main(argv=None):
+    argv = list(sys.argv) if argv is None else list(argv)
+    sc = scoring_system_default()
+    cmd, sc = parse_args(argv, sc, NW_CMD)
+    aligner = NeedlemanWunsch(sc)
+    out = sys.stdout
+
+    def align_zam(seq_a, seq_b):
+        # tools/nw_cmdline.c:36-76
+        r = aligner.align(seq_a, seq_b)
+        ra = r.result_a.replace("-", "_")
+        rb = r.result_b.replace("-", "_")
+        mismatches = indels = 0
+        spacer = []
+        for ca, cb in zip(ra, rb):
+            if ca == "_" or cb == "_":
+                spacer.append(" ")
+                indels += 1
+            elif (sc.case_sensitive and ca != cb) or \
+                    ca.lower() != cb.lower():
+                spacer.append("*")
+                mismatches += 1
+            else:
+                spacer.append("|")
+        out.write("Br1:%s\n    %s\nBr2:%s\n%i %i\n\n"
+                  % (ra, "".join(spacer), rb, mismatches, indels))
+        out.flush()
+
+    def align(seq_a, seq_b, name_a=None, name_b=None):
+        # tools/nw_cmdline.c:78-149
+        if cmd.zam_stle_output:
+            align_zam(seq_a, seq_b)
+            return
+        r = aligner.align(seq_a, seq_b)
+        if cmd.print_matrices:
+            M, Ga, Gb = aligner.matrices(seq_a, seq_b)
+            out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
+        if cmd.print_fasta and name_a is not None:
+            out.write(name_a + "\n")
+        if cmd.print_fasta and cmd.print_pretty and name_b is not None:
+            out.write(name_b + "\n")
+        if cmd.print_colour:
+            out.write(colour_print_against(r.result_a, r.result_b,
+                                           sc.case_sensitive))
+        else:
+            out.write(r.result_a)
+        out.write("\n")
+        if cmd.print_pretty:
+            out.write(alignment_spacer(r.result_a, r.result_b, sc))
+            out.write("\n")
+        elif cmd.print_fasta and name_b is not None:
+            out.write(name_b + "\n")
+        if cmd.print_colour:
+            out.write(colour_print_against(r.result_b, r.result_a,
+                                           sc.case_sensitive))
+        else:
+            out.write(r.result_b)
+        out.write("\n")
+        if cmd.print_scores:
+            out.write("score: %i\n" % r.score)
+        out.write("\n")
+        out.flush()
+
+    if cmd.seq1 is not None:
+        align(cmd.seq1, cmd.seq2)
+
+    for file1, file2 in cmd.file_pairs:
+        if file1 == "" and file2 is None:
+            file1 = "-"
+        align_from_file(
+            file1, file2,
+            lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
+            use_zlib=not cmd.interactive,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,10 +23,14 @@ Differences from the reference by design (semantics preserved exactly):
   special cases (free end gaps, alignment.c:122-127,140-145; no-gaps
   exceptions, alignment.c:128-137,146-155) as lane masks.
 
-Scoring reaches the kernel as a dense 256x256 LUT (see
-``seqalign_tpu.scoring.config``); substitution scores for every cell are
-gathered once into the skewed layout up front, so the scan body is pure
-int32 arithmetic with no lookups.
+Substitution scores are delivered to the scan with zero gathers: sequences
+are alphabet-compacted on the host, the per-pair profile matrix
+``P[x, y] = sub(a[x], b[y])`` is built as two one-hot matmuls on the MXU
+(exact in f32 — exactly one nonzero per contraction), and the diagonal skew
+is a pad+flatten+reshape shear (a pure memory copy: padding each row of
+``P^T`` to width LA+LB+2 and re-viewing rows at stride LA+LB+1 lands
+``P[d-y, y]`` at ``[y, d]``).  The scan body is then pure int32 arithmetic
+with no lookups.
 """
 
 from __future__ import annotations
@@ -65,6 +69,44 @@ def _max3(a, b, c):
     return jnp.maximum(a, jnp.maximum(b, c))
 
 
+def _profile(codes_a, codes_b, tableK, out_dtype):
+    """P[b, x, y] = tableK[codes_a[b, x], codes_b[b, y]] via one-hot matmuls
+    (MXU).  Exact: each f32 contraction has exactly one nonzero term, and
+    table magnitudes are host-checked to be < 2^24."""
+    Ka, Kb = tableK.shape
+    oa = (codes_a[..., None] == jnp.arange(Ka, dtype=codes_a.dtype)).astype(
+        jnp.float32
+    )  # (B, LA, Ka)
+    ob = (codes_b[..., None] == jnp.arange(Kb, dtype=codes_b.dtype)).astype(
+        jnp.float32
+    )  # (B, LB, Kb)
+    pa = jax.lax.dot_general(
+        oa, tableK.astype(jnp.float32),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, LA, Kb)
+    p = jax.lax.dot_general(
+        pa, ob,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, LA, LB)
+    return p.astype(out_dtype)
+
+
+def _shear(p):
+    """Skew (B, LA, LB) profile to diagonals: out[b, y0, r] = p[b, r-y0, y0]
+    (r = diagonal index d-2, y0 = y-1).  Implemented as a pure reshape trick:
+    pad each row of p^T to width LA+LB+2, flatten, and re-view rows at
+    stride LA+LB+1 — no gather."""
+    B, LA, LB = p.shape
+    pt = p.transpose(0, 2, 1)  # (B, LB, LA): pt[b, y0, x0]
+    W = LA + LB + 2
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, W - LA)))
+    flat = pt.reshape(B, LB * W)
+    stride = W - 1  # = LA + LB + 1; LB*W >= LB*stride, so just truncate
+    return flat[:, : LB * stride].reshape(B, LB, stride)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -80,12 +122,12 @@ def _max3(a, b, c):
     ),
 )
 def dp_fill(
-    a,  # (B, LA) uint8 raw sequence bytes (LUT bakes in case folding)
-    b,  # (B, LB) uint8
+    a,  # (B, LA) int32 alphabet-compacted codes (see compact_inputs)
+    b,  # (B, LB) int32
     na,  # (B,) int32 true lengths
     nb,  # (B,) int32
-    sub_flat,  # (65536,) int32 flattened 256x256 substitution LUT
-    match_flat,  # (65536,) bool flattened is-match LUT
+    subK,  # (Ka, Kb) int32 compact substitution table
+    imK,  # (Ka, Kb) int32 0/1 compact is-match table
     gap_open,  # scalar int32 (the reference's gap_open: EXTRA cost of opening)
     gap_extend,  # scalar int32
     mn,  # scalar int32 DP floor: 0 for SW, NEG_INF sentinel for NW
@@ -116,19 +158,15 @@ def dp_fill(
     yv = jnp.arange(LBp, dtype=i32)  # lane -> y coordinate
 
     # ---- skewed substitution scores: ss[r, :, y] = sub(a[x-1], b[y-1]),
-    # x = (r+2) - y.  One gather up front; the scan body does no lookups.
-    r = jnp.arange(D, dtype=i32)[:, None]  # (D, 1)
-    xm1 = r + 1 - yv[None, :]  # (D, LBp) = x - 1
-    aidx = jnp.clip(xm1, 0, LA - 1)
-    bidx = jnp.clip(yv - 1, 0, LB - 1)  # (LBp,)
-    a_sk = jnp.take(a.astype(i32), aidx, axis=1)  # (B, D, LBp)
-    b_sel = jnp.take(b.astype(i32), bidx, axis=1)  # (B, LBp)
-    pair_idx = a_sk * 256 + b_sel[:, None, :]  # (B, D, LBp)
-    ss_all = jnp.take(sub_flat, pair_idx).transpose(1, 0, 2)  # (D, B, LBp)
-    if nmm:
-        im_all = jnp.take(match_flat, pair_idx).transpose(1, 0, 2)
-    else:
-        im_all = None
+    # x = (r+2) - y.  MXU profile + reshape shear; no gathers anywhere.
+    def skewed(table):
+        p = _profile(a, b, table, i32)  # (B, LA, LB)
+        sh_ = _shear(p)[:, :, :D]  # (B, LB, D): [b, y-1, r]
+        lanes = jnp.pad(sh_, ((0, 0), (1, 0), (0, 0)))  # lane 0 dummy
+        return lanes.transpose(2, 0, 1)  # (D, B, LBp)
+
+    ss_all = skewed(subK)
+    im_all = (skewed(imK) != 0) if nmm else None
 
     nax = na[:, None]  # (B, 1)
     nbx = nb[:, None]
@@ -156,10 +194,12 @@ def dp_fill(
         Gbv = jnp.where(at0, lane0[2], jnp.where(atd, laned[2], Gbv))
         return Mv, Gav, Gbv
 
+    INT_MIN = jnp.int32(np.iinfo(np.int32).min)
+    lane_is_nb = yv[None, :] == nb[:, None]  # (B, LBp), one lane per pair
+
     def corner_at(d, Mv, Gav, Gbv, corner):
         hit = (na + nb) == d  # (B,)
-        idx = jnp.clip(nb, 0, LB)[:, None]
-        take = lambda v: jnp.take_along_axis(v, idx, axis=1)[:, 0]
+        take = lambda v: jnp.max(jnp.where(lane_is_nb, v, INT_MIN), axis=1)
         vals = jnp.stack([take(Mv), take(Gav), take(Gbv)], axis=1)
         return jnp.where(hit[:, None], vals, corner)
 
@@ -174,8 +214,9 @@ def dp_fill(
     d1 = inject(jnp.asarray(1, i32), mnvec, mnvec, mnvec)
 
     corner = zb + jnp.zeros((1, 3), i32)
-    corner = corner_at(jnp.asarray(0, i32), *d0, corner)
-    corner = corner_at(jnp.asarray(1, i32), *d1, corner)
+    if not is_sw:
+        corner = corner_at(jnp.asarray(0, i32), *d0, corner)
+        corner = corner_at(jnp.asarray(1, i32), *d1, corner)
     best = jnp.zeros_like(na)
 
     def step(carry, xs):
@@ -274,11 +315,14 @@ def dp_fill(
             dirrow = (dm | (dga << 2) | (dgb << 4)).astype(jnp.uint8)
 
         Mv, ga_v, gb_v = inject(dvar, Mv, ga_v, gb_v)
-        corner = corner_at(dvar, Mv, ga_v, gb_v, corner)
-
-        valid = (yb_ := yv[None, :]) >= 1
-        valid = valid & (yb_ <= nbx) & (x[None, :] >= 1) & (x[None, :] <= nax)
-        best = jnp.maximum(best, jnp.max(jnp.where(valid, Mv, mn), axis=1))
+        if not is_sw:
+            corner = corner_at(dvar, Mv, ga_v, gb_v, corner)
+        else:
+            valid = (yb_ := yv[None, :]) >= 1
+            valid = (
+                valid & (yb_ <= nbx) & (x[None, :] >= 1) & (x[None, :] <= nax)
+            )
+            best = jnp.maximum(best, jnp.max(jnp.where(valid, Mv, mn), axis=1))
 
         ys = []
         if emit_dirs:
@@ -331,6 +375,33 @@ def pad_batch(seqs, pad_to: Optional[int] = None):
     return out, lens
 
 
+def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
+                   kpad: int = 8):
+    """Host-side alphabet compaction: map raw bytes to dense codes and slice
+    the 256x256 LUTs down to the (Ka, Kb) tables the device actually needs.
+    Tables are padded to multiples of ``kpad`` to bound recompilation."""
+    _, sub, ismatch, _ = sc.luts()
+    ua = np.unique(a_bytes)
+    ub = np.unique(b_bytes)
+    if len(ua) == 0:
+        ua = np.array([0], np.uint8)
+    if len(ub) == 0:
+        ub = np.array([0], np.uint8)
+    Ka = -(-len(ua) // kpad) * kpad
+    Kb = -(-len(ub) // kpad) * kpad
+    mapa = np.zeros(256, np.int32)
+    mapa[ua] = np.arange(len(ua), dtype=np.int32)
+    mapb = np.zeros(256, np.int32)
+    mapb[ub] = np.arange(len(ub), dtype=np.int32)
+    subK = np.zeros((Ka, Kb), np.int32)
+    subK[: len(ua), : len(ub)] = sub[np.ix_(ua, ub)]
+    imK = np.zeros((Ka, Kb), np.int32)
+    imK[: len(ua), : len(ub)] = ismatch[np.ix_(ua, ub)]
+    if np.abs(subK).max(initial=0) >= (1 << 24):
+        raise ValueError("substitution scores must be < 2^24 in magnitude")
+    return mapa[a_bytes], mapb[b_bytes], subK, imK
+
+
 def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):
     """Host-side equivalent of the reference's per-cell unknown-pair abort
     (alignment_scoring.c:179-181): the DP evaluates every (char_a, char_b)
@@ -377,14 +448,14 @@ def fill_batch(
         a2, b2 = _next_pow2(a.shape[1]), _next_pow2(b.shape[1])
         a = np.pad(a, ((0, 0), (0, a2 - a.shape[1])))
         b = np.pad(b, ((0, 0), (0, b2 - b.shape[1])))
-    fold, sub, ismatch, _ = sc.luts()
+    ac, bc, subK, imK = compact_inputs(sc, a, b)
     out = dp_fill(
-        jnp.asarray(a),
-        jnp.asarray(b),
+        jnp.asarray(ac),
+        jnp.asarray(bc),
         jnp.asarray(na),
         jnp.asarray(nb),
-        jnp.asarray(sub.reshape(-1)),
-        jnp.asarray(ismatch.reshape(-1)),
+        jnp.asarray(subK),
+        jnp.asarray(imK),
         np.int32(sc.gap_open),
         np.int32(sc.gap_extend),
         np.int32(sc.dp_floor(is_sw)),

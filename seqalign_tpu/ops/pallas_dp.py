@@ -1,0 +1,291 @@
+"""Pallas TPU wavefront kernel: scores-only batched Gotoh fill.
+
+The XLA scan in ``ops.dp`` round-trips its carry through HBM every diagonal;
+this kernel keeps the DP state resident in VMEM across a sequential
+``(batch_chunk, diagonal_block)`` grid and unrolls K diagonals per grid step.
+The per-diagonal body is tuned against the measured VPU ceiling (~0.3T int32
+elementwise ops/s on the target chip):
+
+* **Lane packing**: each 512-lane row holds P = 512/LBt pairs side by side
+  (LBt lanes each), so short-b workloads don't waste lanes on the triangular
+  ramp of a wide diagonal band, and the sweep is only LA+LBt-1 diagonals.
+  Shifted vectors are re-filled with the (pair-independent) row-0 boundary
+  value at every lane-block boundary, which both implements the y=0 boundary
+  and stops cross-pair leakage.
+* **Poisoned padding** instead of validity masks: pad positions are remapped
+  to a dedicated alphabet code whose substitution score is a large negative
+  poison, so pad-region MATCH values clamp to <= 0 and the SW best-score
+  accumulator is a single unmasked ``max`` per diagonal.  (Pad cells never
+  feed real cells: cell (y,x) only reads predecessors with smaller coords.)
+* **Block-gated column-0 injection** (cell (d,0), alignment.c:59-81): only
+  exists while d-1 < LBt; later diagonal blocks run a loop copy without the
+  injection selects.
+* **Block-gated NW corner capture**: pair corners are hit at d = na+nb;
+  blocks outside the chunk's [min, max] of na+nb skip capture entirely.
+
+Row-0 boundary values enter as closed-form fill values baked into the
+shifted vectors at *store* time: ``sh(h)`` stored at diagonal d with
+boundary-lane fill H[0, d] is consumed at d+1 as the E-predecessor and at
+d+2 (via ping-pong) as the M-predecessor — both need exactly H[0, d].
+
+Scores-only uses the H/E/F reduction of the reference's M/Ga/Gb recurrence:
+``H = max(M, Ga, Gb)`` satisfies ``E' = max(H+gop, E+ge)`` etc. exactly when
+``gap_open <= 0`` (the extra Ga+gop term is absorbed since gop <= ge), and
+``H' = max(H2s + sub, E', F')`` needs no explicit floor because E', F' are
+already clamped at mn.  Recurrence: alignment.c:89-167 with
+gop = gap_open + gap_extend (alignment.c:38-39).
+
+This kernel covers the default-flags fast path (no free-end/no-gaps/
+no-mismatch constraints) with gap_open <= 0; other modes run on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp import _profile, _shear
+
+POISON = -(1 << 22)  # pad substitution score; |POISON| < 2^24 (MXU-exact)
+TL = 512  # total lanes per row
+
+
+def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
+            h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref,
+            *, is_sw, BS, LBt, P, K, DK):
+    i32 = jnp.int32
+    ib = pl.program_id(0)
+    dk = pl.program_id(1)
+    d0 = dk * K + 2  # first diagonal of this block
+    go = scal_ref[0]
+    ge = scal_ref[1]
+    mn = scal_ref[2]
+    gop = go + ge
+
+    LN = P * LBt  # lanes per row
+    # per-lane local y0 (position within the pair's lane block).  LBt is a
+    # power of two when P > 1, so the mod is a bitwise and.  (Computed from
+    # a plain iota: reshape tricks constant-fold into captured constants,
+    # which pallas_call cannot lower.)
+    y0 = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    if P > 1:
+        y0 = y0 & (LBt - 1)
+    bstart = y0 == 0  # first lane of each pair block
+
+    def shift(v, fillv):
+        """Lane shift by one with every block-boundary lane set to fillv."""
+        s = jnp.concatenate([jnp.full((BS, 1), fillv, i32), v[:, : LN - 1]],
+                            axis=1)
+        if P > 1:
+            s = jnp.where(bstart, fillv, s)
+        return s
+
+    @pl.when(dk == 0)
+    def _init():
+        zero = jnp.zeros((BS, LN), i32)
+        if is_sw:
+            h_ref[...] = zero
+            hs_ref[...] = zero
+            es_ref[...] = zero
+            f_ref[...] = zero
+            hs2_ref[...] = zero
+            accv_ref[...] = zero
+        else:
+            run1 = gop  # boundary gap run of length 1
+            mnv = zero + mn
+            # prev1 = diagonal 1: lane0 of each block = cell (1,0):
+            # H = E = run1, F = mn
+            h_ref[...] = jnp.where(bstart, run1, mn)
+            f_ref[...] = mnv
+            # sh(prev1 h) consumed at d=2 with boundary fill H[0,1] = run1;
+            # interior lane1 = h1[lane0] = run1, rest mn
+            sh1 = jnp.where(y0 == 1, run1, mn)
+            hs_ref[...] = jnp.where(bstart, run1, sh1)
+            es_ref[...] = jnp.where(bstart, mn, sh1)  # Ga[0,1] = mn
+            # sh(prev0 h) consumed at d=2 as M-predecessor: boundary fill
+            # H[0,0] = 0, no interior lanes
+            hs2_ref[...] = jnp.where(bstart, 0, mn)
+            accv_ref[...] = mnv
+
+    def sweep(inject_col0: bool):
+        h, hs, es, f, hs2 = (
+            h_ref[...], hs_ref[...], es_ref[...], f_ref[...], hs2_ref[...]
+        )
+        if is_sw:
+            accv = accv_ref[...]
+        h_news = []
+        for k in range(K):
+            d = d0 + k
+            ss = ss_ref[0, 0, k]
+            e_new = jnp.maximum(jnp.maximum(hs + gop, es + ge), mn)
+            f_new = jnp.maximum(jnp.maximum(h + gop, f + ge), mn)
+            m_arg = hs2 + ss
+            h_new = jnp.maximum(m_arg, jnp.maximum(e_new, f_new))
+
+            if inject_col0:
+                # x == 0 boundary: cell (d, 0) at local lane d-1
+                at0 = y0 == (d - 1)
+                if is_sw:
+                    h_new = jnp.where(at0, 0, h_new)
+                    e_new = jnp.where(at0, 0, e_new)
+                    f_new = jnp.where(at0, 0, f_new)
+                else:
+                    run = go + d * ge
+                    h_new = jnp.where(at0, run, h_new)
+                    e_new = jnp.where(at0, run, e_new)
+                    f_new = jnp.where(at0, mn, f_new)
+
+            if is_sw:
+                # poisoned pads keep pad-region M <= 0; unmasked best
+                accv = jnp.maximum(accv, jnp.maximum(m_arg, 0))
+            else:
+                h_news.append(h_new)
+
+            hs2, hs, es, h, f = (
+                hs,
+                shift(h_new, 0 if is_sw else go + d * ge),
+                shift(e_new, 0 if is_sw else mn),
+                h_new,
+                f_new,
+            )
+
+        h_ref[...] = h
+        hs_ref[...] = hs
+        es_ref[...] = es
+        f_ref[...] = f
+        hs2_ref[...] = hs2
+        if is_sw:
+            accv_ref[...] = accv
+        else:
+            # corner capture, only when this block can contain some na+nb
+            dlo = drange_ref[ib, 0]
+            dhi = drange_ref[ib, 1]
+
+            @pl.when((d0 <= dhi) & (d0 + K > dlo))
+            def _capture():
+                nal = nabl_ref[0, 0]
+                nbl = nabl_ref[0, 1]
+                lane_nb = y0 == (nbl - 1)
+                accv = accv_ref[...]
+                for k in range(K):
+                    hit = (nal + nbl) == (d0 + k)
+                    accv = jnp.where(lane_nb & hit, h_news[k], accv)
+                accv_ref[...] = accv
+
+    # column-0 injection only needed while d-1 < LBt
+    @pl.when(d0 <= LBt + K)
+    def _with_inject():
+        sweep(True)
+
+    @pl.when(d0 > LBt + K)
+    def _without_inject():
+        sweep(False)
+
+    @pl.when(dk == DK - 1)
+    def _emit():
+        out_ref[0] = accv_ref[...]
+
+
+def int16_safe(sc, LA, LB, is_sw) -> bool:
+    """True when every DP value / boundary run / intermediate sum provably
+    fits int16 (reserved for a future int16 kernel mode)."""
+    L = LA + LB
+    mp = max(abs(sc.min_penalty), abs(sc.max_penalty))
+    vmax = max(0, sc.max_penalty) * L + mp
+    run = abs(sc.gap_open) + L * abs(sc.gap_extend)
+    return L < 32000 and max(vmax, run + 2 * mp) < 32000
+
+
+@functools.partial(
+    jax.jit, static_argnames=("is_sw", "interpret", "unroll", "bs")
+)
+def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
+                  *, is_sw: bool, interpret: bool = False,
+                  unroll: int = 8, bs: int = 128):
+    """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
+
+    ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
+    be a multiple of 128 and <= 512.  Returns (B,) int32.
+    """
+    del imK  # scores-only path never needs the is-match table
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    P = max(1, TL // LBt)
+    if P > 1 and (LBt & (LBt - 1)) != 0:
+        P = 1  # packing requires a power-of-two block (bitwise-and mod)
+    LN = P * LBt  # lanes per row (=TL unless LBt > TL)
+    D = LA + LBt - 1
+    K = unroll
+    DK = -(-D // K)
+
+    # pad B to a multiple of BS*P
+    BS = min(bs, 128)
+    Bp = -(-B // (BS * P)) * (BS * P)
+    if Bp != B:
+        pad = Bp - B
+        ac = jnp.pad(ac, ((0, pad), (0, 0)))
+        bc = jnp.pad(bc, ((0, pad), (0, 0)))
+        na = jnp.pad(na, (0, pad), constant_values=1)
+        nb = jnp.pad(nb, (0, pad), constant_values=1)
+    nB = Bp // (BS * P)
+
+    # Remap pad positions to dedicated poison codes so pad-region substitution
+    # scores are hugely negative (see module docstring).
+    Ka, Kb = subK.shape
+    ac = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None], ac, Ka
+    )
+    bc = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None], bc, Kb
+    )
+    subK = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
+
+    p = _profile(ac, bc, subK, jnp.int32)  # (Bp, LA, LBt)
+    ss = _shear(p)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
+    ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
+    # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s, block p
+    ss = ss.reshape(nB, BS, P, LBt, DK * K)
+    ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
+    ss = ss.reshape(nB, DK, K, BS, LN)
+
+    na32 = na.astype(jnp.int32)
+    nb32 = nb.astype(jnp.int32)
+    nalane = jnp.broadcast_to(
+        na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+    ).reshape(nB, 1, BS, LN)
+    nblane = jnp.broadcast_to(
+        nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+    ).reshape(nB, 1, BS, LN)
+    nabl = jnp.concatenate([nalane, nblane], axis=1)  # (nB, 2, BS, TL)
+
+    nsum = (na32 + nb32).reshape(nB, BS * P)
+    drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
+    scal = jnp.array(
+        [gap_open, gap_extend, mn, 0, 0, 0, 0, 0], dtype=jnp.int32
+    )
+
+    kernel = functools.partial(
+        _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, DK),
+        in_specs=[
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+            pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nB, BS, LN), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((BS, LN), jnp.int32)] * 6,
+        interpret=interpret,
+    )(ss, nabl, drange, scal)
+    # reduce each pair's lane block to its score
+    out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
+    return out[:B]

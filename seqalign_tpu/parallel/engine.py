@@ -49,19 +49,17 @@ def _flags(sc: ScoringConfig, is_sw: bool) -> dict:
 
 def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
                           axis: str = "pairs"):
-    """Compile fn(a, b, na, nb) -> (B,) int32 optimal scores, with the pair
-    batch sharded across the mesh. B must divide by the mesh size."""
-    fold, sub, ismatch, _ = sc.luts()
-    sub_flat = jnp.asarray(sub.reshape(-1))
-    match_flat = jnp.asarray(ismatch.reshape(-1))
+    """Compile fn(a_codes, b_codes, na, nb, subK, imK) -> (B,) int32 optimal
+    scores, with the pair batch sharded across the mesh and the compact
+    scoring tables replicated. B must divide by the mesh size."""
     flags = _flags(sc, is_sw)
     go = np.int32(sc.gap_open)
     ge = np.int32(sc.gap_extend)
     mn = np.int32(sc.dp_floor(is_sw))
 
-    def local_fill(a, b, na, nb):
+    def local_fill(a, b, na, nb, subK, imK):
         out = dp.dp_fill(
-            a, b, na, nb, sub_flat, match_flat, go, ge, mn,
+            a, b, na, nb, subK, imK, go, ge, mn,
             emit_dirs=False, emit_m=False, emit_gab=False, **flags,
         )
         if is_sw:
@@ -71,7 +69,7 @@ def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     sharded = shard_map(
         local_fill,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
     )
     return jax.jit(sharded)
@@ -91,7 +89,9 @@ def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         b = np.pad(b, ((0, rem), (0, 0)))
         na = np.pad(na, (0, rem))
         nb = np.pad(nb, (0, rem))
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     fn = make_sharded_score_fn(sc, mesh, is_sw=is_sw)
-    scores = np.asarray(fn(jnp.asarray(a), jnp.asarray(b),
-                           jnp.asarray(na), jnp.asarray(nb)))
+    scores = np.asarray(fn(jnp.asarray(ac), jnp.asarray(bc),
+                           jnp.asarray(na), jnp.asarray(nb),
+                           jnp.asarray(subK), jnp.asarray(imK)))
     return scores[:n]

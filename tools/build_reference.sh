@@ -1,8 +1,32 @@
 #!/bin/sh
-# Build the reference seq-align core library + golden_gen driver in /tmp/refbuild.
+# Build the reference seq-align CLI binaries + core library in /tmp/refbuild,
+# using the minimal submodule shims in tools/refshim (the reference's git
+# submodules are not checked out in the read-only mount).
 # Used only to (re)generate tests/golden fixtures; the test suite itself does
-# not need this. The reference's git submodules are absent, so sort_r is
-# provided as a qsort_r shim.
+# not need this.
 set -e
-mkdir -p /tmp/refbuild/sort_r
-# (shim + driver sources are created by tools/gen_golden setup; see repo history)
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+REF=/root/reference
+OUT=/tmp/refbuild
+mkdir -p "$OUT"
+
+
+# Patch a genuine reference bug for fixture generation: smith_waterman.c
+# clears only (l+31)/32 BYTES of the uint32-word overlap-mask bitset between
+# pairs (smith_waterman.c:149), i.e. a quarter of it — stale mask bits from a
+# previous pair then suppress hits in later pairs.  Our framework implements
+# the intended semantics (full mask reset per alignment), so fixtures are
+# generated against the fixed behavior.  Documented in README.
+mkdir -p "$OUT/patched"
+sed 's#(hist->match_scores_mask.l+31)/32#(hist->match_scores_mask.l+7)/8#' \
+    "$REF/src/smith_waterman.c" > "$OUT/patched/smith_waterman.c"
+
+CFLAGS="-O2 -std=gnu99 -Wall -I$REPO/tools/refshim -I$REF/src"
+SRCS="$REF/src/alignment.c $REF/src/alignment_scoring.c \
+      $REF/src/alignment_scoring_load.c $REF/src/alignment_cmdline.c \
+      $REF/src/needleman_wunsch.c $OUT/patched/smith_waterman.c"
+
+gcc $CFLAGS -o "$OUT/needleman_wunsch" $SRCS "$REF/src/tools/nw_cmdline.c" -lz
+gcc $CFLAGS -o "$OUT/smith_waterman" $SRCS "$REF/src/tools/sw_cmdline.c" -lz
+gcc $CFLAGS -o "$OUT/lcs" $SRCS "$REF/src/tools/lcs_cmdline.c" -lz
+echo "built: $OUT/{needleman_wunsch,smith_waterman,lcs}"
