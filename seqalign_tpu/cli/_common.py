@@ -9,8 +9,14 @@ identical validation rules and error messages, and the exact output helpers
 from __future__ import annotations
 
 import dataclasses
+import logging
 import sys
 from typing import List, Optional, Tuple
+
+# The reference binaries print nothing on startup; the Perl wrappers merge
+# stderr into the parsed stream (2>&1), so platform-discovery warnings would
+# corrupt the protocol.  Silence them for CLI entry points.
+logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
 from ..scoring.config import ScoringConfig
 from ..scoring.loader import ScoringLoadError, load_matrix, load_pairwise
