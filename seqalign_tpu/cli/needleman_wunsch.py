@@ -57,6 +57,22 @@ def main(argv=None):
         if cmd.print_matrices:
             M, Ga, Gb = aligner.matrices(seq_a, seq_b)
             out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
+        _print_alignment(r, name_a, name_b)
+
+    def align_many(pairs):
+        """Batched fill for a chunk of (r1, r2) records — one device program
+        per chunk instead of per pair (the reference aligns serially,
+        alignment_cmdline.c:611-622)."""
+        if cmd.zam_stle_output or cmd.print_matrices:
+            for r1, r2 in pairs:
+                align(r1[1], r2[1], r1[0], r2[0])
+            return
+        results = aligner.align_batch([r1[1] for r1, _ in pairs],
+                                      [r2[1] for _, r2 in pairs])
+        for (r1, r2), r in zip(pairs, results):
+            _print_alignment(r, r1[0], r2[0])
+
+    def _print_alignment(r, name_a, name_b):
         if cmd.print_fasta and name_a is not None:
             out.write(name_a + "\n")
         if cmd.print_fasta and cmd.print_pretty and name_b is not None:
@@ -86,14 +102,31 @@ def main(argv=None):
     if cmd.seq1 is not None:
         align(cmd.seq1, cmd.seq2)
 
+    CHUNK = 256
     for file1, file2 in cmd.file_pairs:
+        streaming = cmd.interactive or file1 in ("", "-")
         if file1 == "" and file2 is None:
             file1 = "-"
-        align_from_file(
-            file1, file2,
-            lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
-            use_zlib=not cmd.interactive,
-        )
+        if streaming:
+            # stdin follows the immediate-response protocol the Perl wrapper
+            # depends on (NeedlemanWunsch.pm:182-211) — align pair by pair
+            align_from_file(
+                file1, file2,
+                lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
+                use_zlib=not cmd.interactive,
+            )
+        else:
+            buf = []
+
+            def collect(r1, r2, buf=buf):
+                buf.append((r1, r2))
+                if len(buf) >= CHUNK:
+                    align_many(buf)
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True)
+            if buf:
+                align_many(buf)
     return 0
 
 

@@ -80,7 +80,7 @@ def main(argv=None):
 
     sw = SmithWaterman(sc)
 
-    def align(seq_a, seq_b, name_a=None, name_b=None):
+    def align(seq_a, seq_b, name_a=None, name_b=None, hits=None):
         # tools/sw_cmdline.c:125-311
         if (name_a is not None or name_b is not None) and \
                 state["wait_on_keystroke"]:
@@ -99,7 +99,8 @@ def main(argv=None):
             sys.stderr.flush()
             return
 
-        hits = sw.align(seq_a, seq_b)
+        if hits is None:
+            hits = sw.align(seq_a, seq_b)
         len_a, len_b = len(seq_a), len(seq_b)
 
         out.write("== Alignment %zu lengths (%lu, %lu):\n".replace(
@@ -183,18 +184,44 @@ def main(argv=None):
         out.flush()
         state["alignment_index"] += 1
 
+    def align_many(pairs):
+        """One batched device fill per chunk of file pairs (the reference
+        aligns serially, alignment_cmdline.c:611-622)."""
+        todo = [(r1, r2) for r1, r2 in pairs if r1[1] and r2[1]]
+        iters = sw.align_batch([r1[1] for r1, _ in todo],
+                               [r2[1] for _, r2 in todo]) if todo else []
+        by_pair = {id(p): it for p, it in zip(todo, iters)}
+        for pair in pairs:
+            r1, r2 = pair
+            align(r1[1], r2[1], r1[0], r2[0], hits=by_pair.get(id(pair)))
+
     if cmd.seq1 is not None:
         align(cmd.seq1, cmd.seq2)
 
+    CHUNK = 256
     for file1, file2 in cmd.file_pairs:
+        streaming = cmd.interactive or file1 in ("", "-")
         if file1 == "" and file2 is None:
             state["wait_on_keystroke"] = True
             file1 = "-"
-        align_from_file(
-            file1, file2,
-            lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
-            use_zlib=not cmd.interactive,
-        )
+        if streaming:
+            align_from_file(
+                file1, file2,
+                lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
+                use_zlib=not cmd.interactive,
+            )
+        else:
+            buf = []
+
+            def collect(r1, r2, buf=buf):
+                buf.append((r1, r2))
+                if len(buf) >= CHUNK:
+                    align_many(buf)
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True)
+            if buf:
+                align_many(buf)
     return 0
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import sys
 from typing import Iterator, Optional, TextIO, Tuple
 
@@ -95,8 +96,18 @@ def align_from_file(path1: str, path2: Optional[str], callback,
     """Pair-streaming driver mirroring ``align_from_file``
     (alignment_cmdline.c:578-640): one file => two records at a time;
     two files => one record from each.  Warnings byte-match the reference."""
+    def _open_records(path):
+        if path != "-" and use_zlib:
+            from . import native
+
+            if native.available():
+                if not os.path.exists(path):
+                    raise OSError(path)
+                return native.read_seqs_native(path)
+        return read_seqs(path, use_zlib)
+
     try:
-        s1 = read_seqs(path1, use_zlib)
+        s1 = _open_records(path1)
     except OSError:
         sys.stderr.write("Alignment Error: couldn't open file %s\n" % path1)
         sys.stderr.flush()
@@ -105,7 +116,7 @@ def align_from_file(path1: str, path2: Optional[str], callback,
         s2 = s1
     else:
         try:
-            s2 = read_seqs(path2, use_zlib)
+            s2 = _open_records(path2)
         except OSError:
             # (the reference prints path1 here too — bug-compatible,
             # alignment_cmdline.c:598)
