@@ -99,6 +99,20 @@ class NeedlemanWunsch:
         (Pallas wavefront kernel on TPU when eligible)."""
         return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=False)
 
+    def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048) -> Alignment:
+        """Long-sequence global alignment: chunked fill with boundary-column
+        carry (device memory O(chunk * len_b)); traceback walks the streamed
+        per-chunk direction codes."""
+        from .ops.traceback import ChunkedDirs
+
+        corner, _, dirs_chunks, _, na, nb = dp.fill_chunked(
+            self.scoring, [seq_a], [seq_b], is_sw=False, chunk=chunk,
+            emit_dirs=True,
+        )
+        dirs = ChunkedDirs([c[0] for c in dirs_chunks], chunk)
+        return nw_traceback(seq_a, seq_b, int(na[0]), int(nb[0]), dirs,
+                            corner[0])
+
     def matrices(self, seq_a: str, seq_b: str):
         """Full (M, Ga, Gb) row-major matrices for --printmatrices parity."""
         out, na, nb = dp.fill_batch(
@@ -136,6 +150,21 @@ class SmithWaterman:
 
     def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
         return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=True)
+
+    def align_long(self, seq_a: str, seq_b: str,
+                   chunk: int = 2048) -> SwHitIterator:
+        """Long-sequence local multi-hit alignment via the chunked fill."""
+        from .ops.traceback import ChunkedDirs, ChunkedM
+
+        _, _, dirs_chunks, m_chunks, na, nb = dp.fill_chunked(
+            self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,
+            emit_dirs=True, emit_m=True,
+        )
+        return SwHitIterator(
+            self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
+            ChunkedDirs([c[0] for c in dirs_chunks], chunk),
+            ChunkedM([c[0] for c in m_chunks], chunk),
+        )
 
     def matrices(self, seq_a: str, seq_b: str):
         out, na, nb = dp.fill_batch(

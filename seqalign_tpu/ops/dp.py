@@ -63,6 +63,7 @@ class DPOutputs(NamedTuple):
     mmat: Optional[jnp.ndarray]
     gamat: Optional[jnp.ndarray]
     gbmat: Optional[jnp.ndarray]
+    bout: Optional[tuple] = None  # chunked mode: (M, Ga, Gb) at x = x_off+CA
 
 
 def _max3(a, b, c):
@@ -119,6 +120,7 @@ def _shear(p):
         "emit_dirs",
         "emit_m",
         "emit_gab",
+        "chunked",
     ),
 )
 def dp_fill(
@@ -131,6 +133,8 @@ def dp_fill(
     gap_open,  # scalar int32 (the reference's gap_open: EXTRA cost of opening)
     gap_extend,  # scalar int32
     mn,  # scalar int32 DP floor: 0 for SW, NEG_INF sentinel for NW
+    x_off=None,  # chunked: scalar int32 global-x offset of this chunk
+    bcol=None,  # chunked: (bM, bGa, bGb) boundary columns (B, LB+1), lane=y
     *,
     is_sw: bool,
     nsg: bool,  # no_start_gap_penalty
@@ -141,7 +145,14 @@ def dp_fill(
     emit_dirs: bool,
     emit_m: bool,
     emit_gab: bool,
+    chunked: bool = False,
 ) -> DPOutputs:
+    """When ``chunked``: fill the sub-rectangle x in [x_off+1, x_off+LA] of a
+    longer DP, taking the column x = x_off as ``bcol`` and emitting the
+    column x = x_off+LA as ``bout`` (long-sequence decomposition; the
+    boundary-carry analog of sequence parallelism).  Coordinate-dependent
+    semantics (last-column specials, corner capture, boundary runs) use
+    global x throughout."""
     B, LA = a.shape
     _, LB = b.shape
     LBp = LB + 1
@@ -154,6 +165,11 @@ def dp_fill(
     gop = gap_open + gap_extend  # gap_open_penalty (alignment.c:38)
     na = na.astype(i32)
     nb = nb.astype(i32)
+    if chunked:
+        x_off = jnp.asarray(x_off, i32)
+        bM, bGa, bGb = (v.astype(i32) for v in bcol)
+    else:
+        x_off = jnp.asarray(0, i32)
 
     yv = jnp.arange(LBp, dtype=i32)  # lane -> y coordinate
 
@@ -172,33 +188,47 @@ def dp_fill(
     nbx = nb[:, None]
 
     def boundary_vals(d):
-        """Row/col-0 init values for diagonal d (alignment.c:51-81)."""
+        """Row/col-0 init values for (local) diagonal d (alignment.c:51-81);
+        the row-0 gap run uses the GLOBAL x coordinate."""
         if is_sw:
             z = jnp.zeros((B, 1), i32)
             return (z, z, z), (z, z, z)
         if nsg:
             gaprun = jnp.zeros((B, 1), i32)
+            gaprun_y = gaprun
         else:
-            gaprun = jnp.broadcast_to(gap_open + d * gap_extend, (B, 1))
+            gaprun = jnp.broadcast_to(
+                gap_open + (x_off + d) * gap_extend, (B, 1)
+            )
+            gaprun_y = jnp.broadcast_to(gap_open + d * gap_extend, (B, 1))
         mncol = jnp.full((B, 1), mn, i32)
-        lane0 = (mncol, mncol, gaprun)  # cell (0, d): M, Ga, Gb
-        laned = (mncol, gaprun, mncol)  # cell (d, 0)
+        lane0 = (mncol, mncol, gaprun)  # cell (0, x_off + d): M, Ga, Gb
+        laned = (mncol, gaprun_y, mncol)  # cell (d, 0)
         return lane0, laned
 
     def inject(d, Mv, Gav, Gbv):
         lane0, laned = boundary_vals(d)
         at0 = yv[None, :] == 0
-        atd = yv[None, :] == d
-        Mv = jnp.where(at0, lane0[0], jnp.where(atd, laned[0], Mv))
-        Gav = jnp.where(at0, lane0[1], jnp.where(atd, laned[1], Gav))
-        Gbv = jnp.where(at0, lane0[2], jnp.where(atd, laned[2], Gbv))
+        Mv = jnp.where(at0, lane0[0], Mv)
+        Gav = jnp.where(at0, lane0[1], Gav)
+        Gbv = jnp.where(at0, lane0[2], Gbv)
+        if not chunked:
+            # column x=0 cells exist only in unchunked fills (chunked fills
+            # take the left column from bcol substitution instead)
+            atd = yv[None, :] == d
+            Mv = jnp.where(atd, laned[0], Mv)
+            Gav = jnp.where(atd, laned[1], Gav)
+            Gbv = jnp.where(atd, laned[2], Gbv)
         return Mv, Gav, Gbv
 
     INT_MIN = jnp.int32(np.iinfo(np.int32).min)
     lane_is_nb = yv[None, :] == nb[:, None]  # (B, LBp), one lane per pair
 
     def corner_at(d, Mv, Gav, Gbv, corner):
-        hit = (na + nb) == d  # (B,)
+        hit = (na + nb) == (d + x_off)  # (B,) global diagonal match
+        if chunked:
+            # this chunk owns the corner only if x = na lies inside it
+            hit = hit & (na > x_off) & (na <= x_off + LA)
         take = lambda v: jnp.max(jnp.where(lane_is_nb, v, INT_MIN), axis=1)
         vals = jnp.stack([take(Mv), take(Gav), take(Gbv)], axis=1)
         return jnp.where(hit[:, None], vals, corner)
@@ -208,32 +238,67 @@ def dp_fill(
     zb = jnp.zeros_like(na)[:, None]  # (B, 1) int32
     mnvec = zb + mn
     mnvec = jnp.broadcast_to(mnvec, (B, LBp)) + jnp.zeros((1, LBp), i32)
-    zerov = jnp.where(yv[None, :] == 0, 0, mn)
-    m0 = zerov + zb  # (0,0) = 0 in all three
-    d0 = (m0, m0, m0)
-    d1 = inject(jnp.asarray(1, i32), mnvec, mnvec, mnvec)
+    if chunked:
+        # prev2 = local diag 0: only lane0 = row-0 boundary at x_off;
+        # prev1 = local diag 1: only lane0 = row-0 boundary at x_off+1.
+        # All other lanes belong to earlier chunks and are never read
+        # unsubstituted (the x==1 lanes take bcol instead).
+        l0a, _ = boundary_vals(jnp.asarray(0, i32))
+        l0b, _ = boundary_vals(jnp.asarray(1, i32))
+        at0 = yv[None, :] == 0
+        d0 = tuple(jnp.where(at0, l0a[k], mnvec) for k in range(3))
+        d1 = tuple(jnp.where(at0, l0b[k], mnvec) for k in range(3))
+    else:
+        zerov = jnp.where(yv[None, :] == 0, 0, mn)
+        m0 = zerov + zb  # (0,0) = 0 in all three
+        d0 = (m0, m0, m0)
+        d1 = inject(jnp.asarray(1, i32), mnvec, mnvec, mnvec)
 
     corner = zb + jnp.zeros((1, 3), i32)
-    if not is_sw:
+    if not is_sw and not chunked:
         corner = corner_at(jnp.asarray(0, i32), *d0, corner)
         corner = corner_at(jnp.asarray(1, i32), *d1, corner)
     best = jnp.zeros_like(na)
+    if chunked:
+        bM_sh = jnp.concatenate([jnp.full((B, 1), mn, i32), bM[:, :-1]], 1)
+        bGa_sh = jnp.concatenate([jnp.full((B, 1), mn, i32), bGa[:, :-1]], 1)
+        bGb_sh = jnp.concatenate([jnp.full((B, 1), mn, i32), bGb[:, :-1]], 1)
+        boutM = mnvec
+        boutGa = mnvec
+        boutGb = mnvec
 
     def step(carry, xs):
-        pm2, pga2, pgb2, pm1, pga1, pgb1, corner, best = carry
+        if chunked:
+            (pm2, pga2, pgb2, pm1, pga1, pgb1, corner, best,
+             boutM, boutGa, boutGb) = carry
+        else:
+            pm2, pga2, pgb2, pm1, pga1, pgb1, corner, best = carry
         if nmm:
             dvar, ss, im = xs
         else:
             dvar, ss = xs
             im = None
-        x = dvar - yv  # (LBp,) x coordinate per lane
+        x = dvar - yv  # (LBp,) LOCAL x coordinate per lane
 
         fill = jnp.full((B, 1), mn, i32)
         sh = lambda v: jnp.concatenate([fill, v[:, :-1]], axis=1)  # lane y-1
         m2s, ga2s, gb2s = sh(pm2), sh(pga2), sh(pgb2)
         m1s, ga1s, gb1s = sh(pm1), sh(pga1), sh(pgb1)
 
-        lastcol = x[None, :] == nax  # x == na
+        if chunked:
+            # lanes at local x == 1 read the carried boundary column x_off:
+            # diagonal preds (y-1, x_off) = sh(bcol), left preds (y, x_off)
+            # = bcol.  Up preds stay in-chunk.
+            fc = (x == 1)[None, :]
+            m2s = jnp.where(fc, bM_sh, m2s)
+            ga2s = jnp.where(fc, bGa_sh, ga2s)
+            gb2s = jnp.where(fc, bGb_sh, gb2s)
+            pm1 = jnp.where(fc, bM, pm1)
+            pga1 = jnp.where(fc, bGa, pga1)
+            pgb1 = jnp.where(fc, bGb, pgb1)
+
+        gx = x + x_off  # GLOBAL x coordinate per lane
+        lastcol = gx[None, :] == nax  # global x == na
         lastrow = yv[None, :] == nbx  # y == nb
 
         # MATCH (alignment.c:89-119)
@@ -260,8 +325,8 @@ def dp_fill(
         if emit_dirs:
             # Direction codes replicate alignment_reverse_move
             # (alignment.c:244-350): guard -> equality -> priority
-            # GAP_A, GAP_B, MATCH.
-            xb = jnp.broadcast_to(x[None, :], lastcol.shape)
+            # GAP_A, GAP_B, MATCH.  Coordinates in guards are GLOBAL.
+            xb = jnp.broadcast_to(gx[None, :], lastcol.shape)
             yb = jnp.broadcast_to(yv[None, :], lastrow.shape)
 
             def pick(ga_ok, gb_ok, m_ok):
@@ -319,10 +384,16 @@ def dp_fill(
             corner = corner_at(dvar, Mv, ga_v, gb_v, corner)
         else:
             valid = (yb_ := yv[None, :]) >= 1
-            valid = (
-                valid & (yb_ <= nbx) & (x[None, :] >= 1) & (x[None, :] <= nax)
-            )
+            valid = valid & (yb_ <= nbx) & (x[None, :] >= 1)
+            valid = valid & (gx[None, :] <= nax)
             best = jnp.maximum(best, jnp.max(jnp.where(valid, Mv, mn), axis=1))
+
+        if chunked:
+            # capture the chunk's last column x_off + LA as boundary-out
+            lc = (x == LA)[None, :]
+            boutM = jnp.where(lc, Mv, boutM)
+            boutGa = jnp.where(lc, ga_v, boutGa)
+            boutGb = jnp.where(lc, gb_v, boutGb)
 
         ys = []
         if emit_dirs:
@@ -332,14 +403,22 @@ def dp_fill(
         if emit_gab:
             ys.append(ga_v)
             ys.append(gb_v)
-        carry = (pm1, pga1, pgb1, Mv, ga_v, gb_v, corner, best)
+        if chunked:
+            carry = (pm1, pga1, pgb1, Mv, ga_v, gb_v, corner, best,
+                     boutM, boutGa, boutGb)
+        else:
+            carry = (pm1, pga1, pgb1, Mv, ga_v, gb_v, corner, best)
         return carry, tuple(ys)
 
     dvec = jnp.arange(2, LA + LB + 1, dtype=i32)
     xs = (dvec, ss_all, im_all) if nmm else (dvec, ss_all)
-    carry0 = (*d0, *d1, corner, best)
+    if chunked:
+        carry0 = (*d0, *d1, corner, best, boutM, boutGa, boutGb)
+    else:
+        carry0 = (*d0, *d1, corner, best)
     carry, ys = jax.lax.scan(step, carry0, xs)
     corner, best = carry[6], carry[7]
+    bout = (carry[8], carry[9], carry[10]) if chunked else None
 
     ys = list(ys)
     tr = lambda v: v.transpose(1, 0, 2)  # (D, B, LBp) -> (B, D, LBp)
@@ -347,7 +426,7 @@ def dp_fill(
     mmat = tr(ys.pop(0)) if emit_m else None
     gamat = tr(ys.pop(0)) if emit_gab else None
     gbmat = tr(ys.pop(0)) if emit_gab else None
-    return DPOutputs(corner, best, dirs, mmat, gamat, gbmat)
+    return DPOutputs(corner, best, dirs, mmat, gamat, gbmat, bout)
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +549,94 @@ def fill_batch(
         emit_gab=emit_gab,
     )
     return out, na, nb
+
+
+def fill_chunked(
+    sc: ScoringConfig,
+    seqs_a,
+    seqs_b,
+    *,
+    is_sw: bool,
+    chunk: int = 2048,
+    emit_dirs: bool = True,
+    emit_m: bool = False,
+    validate: bool = True,
+):
+    """Long-sequence fill: chunk seq_a into ``chunk``-column slabs, carrying
+    the (M, Ga, Gb) boundary column between slabs (SURVEY §5 long-context —
+    the sequence-parallel analog).  Device memory is O(chunk * LB) instead of
+    O(LA * LB); direction codes / M values stream to host per chunk.
+
+    Returns (corner (B,3), best (B,), dirs_chunks, m_chunks, na, nb) where
+    dirs_chunks / m_chunks are lists of per-chunk (B, D_c, LB+1) host arrays
+    in local-diagonal layout (cell (y, x): chunk (x-1)//chunk, local
+    x_l = x - c*chunk, row x_l + y - 2, lane y).
+    """
+    if validate:
+        for sa, sb in zip(seqs_a, seqs_b):
+            check_valid_pairs(sc, sa, sb)
+    a, na = pad_batch(seqs_a)
+    b, nb = pad_batch(seqs_b)
+    B = a.shape[0]
+    LB = b.shape[1]
+    CA = chunk
+    nchunks = max(1, -(-a.shape[1] // CA))
+    a = np.pad(a, ((0, 0), (0, nchunks * CA - a.shape[1])))
+    ac, bc, subK, imK = compact_inputs(sc, a, b)
+    go = np.int32(sc.gap_open)
+    ge = np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(is_sw))
+
+    # initial boundary = the x=0 column closed form (alignment.c:51-81)
+    yv = np.arange(LB + 1, dtype=np.int64)
+    if is_sw:
+        bM = np.zeros((B, LB + 1), np.int32)
+        bGa = bM.copy()
+        bGb = bM.copy()
+    else:
+        runs = (
+            np.zeros(LB + 1, np.int64)
+            if sc.no_start_gap_penalty
+            else sc.gap_open + yv * sc.gap_extend
+        )
+        col = np.where(yv == 0, 0, int(mn)).astype(np.int64)
+        bM = np.broadcast_to(col, (B, LB + 1)).astype(np.int32).copy()
+        bGb = bM.copy()
+        ga = np.where(yv == 0, 0, runs).astype(np.int32)
+        bGa = np.broadcast_to(ga, (B, LB + 1)).copy()
+
+    flags = dict(
+        is_sw=is_sw, nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+        nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches,
+    )
+    corner = np.zeros((B, 3), np.int32)
+    best = np.zeros((B,), np.int32)
+    dirs_chunks = []
+    m_chunks = []
+    najj = jnp.asarray(na)
+    nbjj = jnp.asarray(nb)
+    subKj = jnp.asarray(subK)
+    imKj = jnp.asarray(imK)
+    bcj = jnp.asarray(bc)
+    for c in range(nchunks):
+        x_off = np.int32(c * CA)
+        out = dp_fill(
+            jnp.asarray(ac[:, c * CA:(c + 1) * CA]), bcj, najj, nbjj,
+            subKj, imKj, go, ge, mn, x_off,
+            (jnp.asarray(bM), jnp.asarray(bGa), jnp.asarray(bGb)),
+            emit_dirs=emit_dirs, emit_m=emit_m, emit_gab=False,
+            chunked=True, **flags,
+        )
+        if emit_dirs:
+            dirs_chunks.append(np.asarray(out.dirs))
+        if emit_m:
+            m_chunks.append(np.asarray(out.mmat))
+        bM, bGa, bGb = (np.asarray(v) for v in out.bout)
+        # merge corner from the owning chunk (where x = na falls)
+        hit = (na > c * CA) & (na <= (c + 1) * CA)
+        corner = np.where(hit[:, None], np.asarray(out.corner), corner)
+        best = np.maximum(best, np.asarray(out.best))
+    return corner, best, dirs_chunks, m_chunks, na, nb
 
 
 def deskew(skewed: np.ndarray, na: int, nb: int, fill=0) -> np.ndarray:

@@ -41,8 +41,37 @@ class Alignment:
     len_b: int = 0
 
 
-def _dir_at(dirs: np.ndarray, y: int, x: int, matrix: int) -> int:
-    code = int(dirs[x + y - 2, y])
+class ChunkedDirs:
+    """Direction-code accessor over per-chunk local-diagonal arrays from
+    ``dp.fill_chunked`` (one pair's slices): cell (y, x) lives in chunk
+    (x-1)//CA at row (x - c*CA) + y - 2, lane y."""
+
+    def __init__(self, chunks, CA: int):
+        self.chunks = chunks  # list of (D_c, LB+1) arrays
+        self.CA = CA
+
+    def code(self, y: int, x: int) -> int:
+        c, xl = divmod(x - 1, self.CA)
+        return int(self.chunks[c][xl + 1 + y - 2, y])
+
+
+class ChunkedM:
+    """SW MATCH-matrix accessor over per-chunk arrays (one pair)."""
+
+    def __init__(self, chunks, CA: int):
+        self.chunks = chunks
+        self.CA = CA
+
+    def at(self, y: int, x: int) -> int:
+        c, xl = divmod(x - 1, self.CA)
+        return int(self.chunks[c][xl + 1 + y - 2, y])
+
+
+def _dir_at(dirs, y: int, x: int, matrix: int) -> int:
+    if isinstance(dirs, np.ndarray):
+        code = int(dirs[x + y - 2, y])
+    else:
+        code = dirs.code(y, x)
     return (code >> (2 * matrix)) & 3
 
 
@@ -132,12 +161,25 @@ class SwHitIterator:
         # sorts flat indices with a stable qsort on (score desc, x asc)
         # (smith_waterman.c:71-86,153-161); full ties keep flat-index order.
         ys, xs, scores = [], [], []
-        for y in range(1, self.nb + 1):
-            row = mmat[y - 1 : y - 1 + self.na, y]  # x = 1..na
-            pos = np.nonzero(row > 0)[0]
-            ys.append(np.full(len(pos), y, dtype=np.int64))
-            xs.append(pos + 1)
-            scores.append(row[pos].astype(np.int64))
+        if isinstance(mmat, np.ndarray):
+            for y in range(1, self.nb + 1):
+                row = mmat[y - 1 : y - 1 + self.na, y]  # x = 1..na
+                pos = np.nonzero(row > 0)[0]
+                ys.append(np.full(len(pos), y, dtype=np.int64))
+                xs.append(pos + 1)
+                scores.append(row[pos].astype(np.int64))
+        else:  # ChunkedM: per-chunk slabs of the x axis
+            for ci, arr in enumerate(mmat.chunks):
+                x_base = ci * mmat.CA
+                max_xl = min(mmat.CA, self.na - x_base)
+                if max_xl < 1:
+                    break
+                for y in range(1, self.nb + 1):
+                    row = arr[y - 1 : y - 1 + max_xl, y]  # local x = 1..
+                    pos = np.nonzero(row > 0)[0]
+                    ys.append(np.full(len(pos), y, dtype=np.int64))
+                    xs.append(x_base + pos + 1)
+                    scores.append(row[pos].astype(np.int64))
         if ys:
             yc = np.concatenate(ys)
             xc = np.concatenate(xs)
@@ -155,7 +197,9 @@ class SwHitIterator:
     def _m_at(self, y: int, x: int) -> int:
         if y == 0 or x == 0:
             return 0  # SW boundary (alignment.c:51-57 with min == 0)
-        return int(self.mmat[x + y - 2, y])
+        if isinstance(self.mmat, np.ndarray):
+            return int(self.mmat[x + y - 2, y])
+        return self.mmat.at(y, x)
 
     def _penalty(self, curr: int, nxt: int, y: int, x: int) -> int:
         """Score drop for one reverse move (alignment.c:264-307)."""
