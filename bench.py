@@ -92,5 +92,25 @@ def main():
     }))
 
 
+def main_with_retry():
+    # the axon tunnel occasionally wedges; one retry with a fresh process
+    # state is usually enough, and the driver always needs a JSON line
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"bench retry after: {e}\n")
+        try:
+            time.sleep(20)
+            main()
+        except Exception as e2:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "nw_fill_throughput",
+                "value": 0.0,
+                "unit": "GCUPS",
+                "vs_baseline": 0.0,
+                "error": str(e2)[:200],
+            }))
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()

@@ -138,3 +138,24 @@ def align_from_file(path1: str, path2: Optional[str], callback,
     if alignments == 0:
         sys.stderr.write("Alignment Warning: empty input\n")
         sys.stderr.flush()
+
+
+def read_seqs_sharded(path: str, shard_index: int, num_shards: int,
+                      use_zlib: bool = True) -> Iterator[Record]:
+    """Round-robin record sharding for multi-host input streaming (each host
+    reads every num_shards-th record; SURVEY §2.4 distributed input).  For
+    pair-per-two-records files, shard by PAIR so hosts get whole pairs."""
+    it = read_seqs(path, use_zlib)
+    pair_idx = 0
+    while True:
+        r1 = next(it, None)
+        if r1 is None:
+            return
+        r2 = next(it, None)
+        if pair_idx % num_shards == shard_index:
+            yield r1
+            if r2 is not None:
+                yield r2
+        if r2 is None:
+            return
+        pair_idx += 1

@@ -1,0 +1,79 @@
+"""API-level fuzz: random scoring configs + sequences through the real
+device path must match the numpy oracle exactly (score, strings, SW hit
+streams).  Complements the fixed 497-case golden corpus."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+from seqalign_tpu.io.seqio import read_seqs_sharded
+from seqalign_tpu.ops import oracle
+from seqalign_tpu.scoring.config import ScoringConfig
+
+FLAGSETS = [
+    dict(),
+    dict(no_start_gap_penalty=True),
+    dict(no_end_gap_penalty=True, no_start_gap_penalty=True),
+    dict(no_gaps_in_b=True),
+    dict(no_mismatches=True),
+    dict(case_sensitive=True),
+]
+
+
+def _rand_case(rng, flags):
+    m = int(rng.integers(0, 4))
+    mm = int(rng.integers(-6, min(1, m + 1)))
+    go = int(rng.integers(-8, 1))
+    ge = int(rng.integers(-3, 0))
+    sc = ScoringConfig(m, mm, go, ge, **flags)
+    if rng.random() < 0.4:
+        sc.add_wildcard("n", int(rng.integers(-2, 3)))
+    alpha = list("acgtACGT" if flags.get("case_sensitive") else "acgtn")
+    la, lb = rng.integers(1, 60, 2)
+    a = "".join(rng.choice(alpha, la))
+    b = "".join(rng.choice(alpha, lb))
+    return sc, a, b
+
+
+@pytest.mark.parametrize("flags", FLAGSETS, ids=lambda f: "+".join(f) or "dflt")
+def test_fuzz_nw_matches_oracle(flags):
+    rng = np.random.default_rng(hash(tuple(sorted(flags))) % 2**31)
+    for _ in range(4):
+        sc, a, b = _rand_case(rng, flags)
+        nw = NeedlemanWunsch(sc)
+        got = nw.align(a, b)
+        want = oracle.nw_align(sc, a, b)
+        assert (got.result_a, got.result_b, got.score) == want, (a, b)
+        assert nw.score(a, b) == want[2]
+
+
+@pytest.mark.parametrize("flags", FLAGSETS[:4],
+                         ids=lambda f: "+".join(f) or "dflt")
+def test_fuzz_sw_matches_oracle(flags):
+    rng = np.random.default_rng(1 + hash(tuple(sorted(flags))) % 2**31)
+    for _ in range(3):
+        sc, a, b = _rand_case(rng, flags)
+        got = [
+            (h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+            for h in SmithWaterman(sc).align(a, b)
+        ]
+        want = [
+            (h["score"], h["pos_a"], h["pos_b"], h["result_a"], h["result_b"])
+            for h in oracle.SwOracle(sc, a, b).hits()
+        ]
+        assert got == want, (a, b)
+
+
+def test_sharded_reader_partitions_pairs(tmp_path):
+    p = tmp_path / "x.fa"
+    recs = [f">{i}\nacg{'t' * (i % 3 + 1)}\n" for i in range(10)]
+    p.write_text("".join(recs))
+    shards = [list(read_seqs_sharded(str(p), s, 3)) for s in range(3)]
+    # whole pairs per shard, all pairs covered exactly once
+    assert all(len(s) % 2 == 0 for s in shards)
+    merged = sorted(sum(shards, []))
+    full = sorted(
+        __import__("seqalign_tpu.io.seqio", fromlist=["read_seqs"])
+        .read_seqs(str(p))
+    )
+    assert merged == full
