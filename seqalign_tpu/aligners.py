@@ -68,6 +68,16 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     return np.asarray(out.corner).max(axis=1)
 
 
+def _buckets(seqs_a, seqs_b):
+    """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
+    pay max-length padding for every pair (SURVEY §7 hard part 4)."""
+    groups = {}
+    for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b)):
+        key = (dp._next_pow2(max(1, len(sa))), dp._next_pow2(max(1, len(sb))))
+        groups.setdefault(key, []).append(i)
+    return groups.values()
+
+
 class NeedlemanWunsch:
     """Global affine-gap aligner (Gotoh), reference parity incl. traceback."""
 
@@ -80,16 +90,21 @@ class NeedlemanWunsch:
     def align_batch(
         self, seqs_a: Sequence[str], seqs_b: Sequence[str]
     ) -> List[Alignment]:
-        out, na, nb = dp.fill_batch(
-            self.scoring, seqs_a, seqs_b, is_sw=False, emit_dirs=True,
-            pow2_pad=True,
-        )
-        dirs = np.asarray(out.dirs)
-        corner = np.asarray(out.corner)
-        return [
-            nw_traceback(sa, sb, na[i], nb[i], dirs[i], corner[i])
-            for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b))
-        ]
+        results: List[Optional[Alignment]] = [None] * len(seqs_a)
+        for idx in _buckets(seqs_a, seqs_b):
+            ga = [seqs_a[i] for i in idx]
+            gb = [seqs_b[i] for i in idx]
+            out, na, nb = dp.fill_batch(
+                self.scoring, ga, gb, is_sw=False, emit_dirs=True,
+                pow2_pad=True,
+            )
+            dirs = np.asarray(out.dirs)
+            corner = np.asarray(out.corner)
+            for j, i in enumerate(idx):
+                results[i] = nw_traceback(
+                    ga[j], gb[j], na[j], nb[j], dirs[j], corner[j]
+                )
+        return results  # type: ignore[return-value]
 
     def score(self, seq_a: str, seq_b: str) -> int:
         return int(self.score_batch([seq_a], [seq_b])[0])
@@ -132,18 +147,22 @@ class SmithWaterman:
         return self.align_batch([seq_a], [seq_b])[0]
 
     def align_batch(self, seqs_a, seqs_b) -> List[SwHitIterator]:
-        out, na, nb = dp.fill_batch(
-            self.scoring, seqs_a, seqs_b, is_sw=True, emit_dirs=True,
-            emit_m=True, pow2_pad=True,
-        )
-        dirs = np.asarray(out.dirs)
-        mmat = np.asarray(out.mmat)
-        return [
-            SwHitIterator(
-                self.scoring, sa, sb, int(na[i]), int(nb[i]), dirs[i], mmat[i]
+        results: List[Optional[SwHitIterator]] = [None] * len(seqs_a)
+        for idx in _buckets(seqs_a, seqs_b):
+            ga = [seqs_a[i] for i in idx]
+            gb = [seqs_b[i] for i in idx]
+            out, na, nb = dp.fill_batch(
+                self.scoring, ga, gb, is_sw=True, emit_dirs=True,
+                emit_m=True, pow2_pad=True,
             )
-            for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b))
-        ]
+            dirs = np.asarray(out.dirs)
+            mmat = np.asarray(out.mmat)
+            for j, i in enumerate(idx):
+                results[i] = SwHitIterator(
+                    self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
+                    dirs[j], mmat[j],
+                )
+        return results  # type: ignore[return-value]
 
     def best_score(self, seq_a: str, seq_b: str) -> int:
         return int(self.best_score_batch([seq_a], [seq_b])[0])

@@ -23,8 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import dp
 from ..scoring.config import ScoringConfig
 
-try:  # jax >= 0.4.35 moved shard_map out of experimental
-    from jax.sharding import shard_map  # type: ignore
+try:
+    from jax import shard_map  # type: ignore  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 

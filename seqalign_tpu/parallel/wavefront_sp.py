@@ -28,7 +28,7 @@ from ..ops.pallas_dp import POISON
 from ..scoring.config import ScoringConfig
 
 try:
-    from jax.sharding import shard_map  # type: ignore
+    from jax import shard_map  # type: ignore  # jax >= 0.8
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
