@@ -70,10 +70,11 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
 
 def _buckets(seqs_a, seqs_b):
     """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
-    pay max-length padding for every pair (SURVEY §7 hard part 4)."""
+    pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
+    are floored at 64 to bound the number of distinct compiled shapes."""
     groups = {}
     for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b)):
-        key = (dp._next_pow2(max(1, len(sa))), dp._next_pow2(max(1, len(sb))))
+        key = (max(64, dp._next_pow2(len(sa))), max(64, dp._next_pow2(len(sb))))
         groups.setdefault(key, []).append(i)
     return groups.values()
 

@@ -18,6 +18,9 @@ from typing import List, Optional, Tuple
 # corrupt the protocol.  Silence them for CLI entry points.
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
+# NOTE: do NOT enable jax_compilation_cache_dir here — it deadlocks this JAX
+# build under the CLI's multi-bucket compile pattern (all threads futex-wait).
+
 from ..scoring.config import ScoringConfig
 from ..scoring.loader import ScoringLoadError, load_matrix, load_pairwise
 from ..scoring.presets import (
