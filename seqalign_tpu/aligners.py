@@ -68,15 +68,26 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     return np.asarray(out.corner).max(axis=1)
 
 
+# Beyond this many cells per pair, a traceback fill routes to the chunked
+# boundary-carry path to bound device memory (the one-shot fill's skewed
+# substitution scores are ~8 transient bytes/cell).
+LONG_PAIR_CELLS = 64_000_000
+
+
 def _buckets(seqs_a, seqs_b):
     """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
     pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
-    are floored at 64 to bound the number of distinct compiled shapes."""
+    are floored at 64 to bound the number of distinct compiled shapes; pairs
+    over LONG_PAIR_CELLS go to the dedicated "long" bucket key None."""
     groups = {}
     for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b)):
-        key = (max(64, dp._next_pow2(len(sa))), max(64, dp._next_pow2(len(sb))))
+        if len(sa) * len(sb) > LONG_PAIR_CELLS:
+            key = None
+        else:
+            key = (max(64, dp._next_pow2(len(sa))),
+                   max(64, dp._next_pow2(len(sb))))
         groups.setdefault(key, []).append(i)
-    return groups.values()
+    return groups.items()
 
 
 class NeedlemanWunsch:
@@ -92,7 +103,11 @@ class NeedlemanWunsch:
         self, seqs_a: Sequence[str], seqs_b: Sequence[str]
     ) -> List[Alignment]:
         results: List[Optional[Alignment]] = [None] * len(seqs_a)
-        for idx in _buckets(seqs_a, seqs_b):
+        for key, idx in _buckets(seqs_a, seqs_b):
+            if key is None:  # long pairs: chunked boundary-carry path
+                for i in idx:
+                    results[i] = self.align_long(seqs_a[i], seqs_b[i])
+                continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
             out, na, nb = dp.fill_batch(
@@ -149,7 +164,11 @@ class SmithWaterman:
 
     def align_batch(self, seqs_a, seqs_b) -> List[SwHitIterator]:
         results: List[Optional[SwHitIterator]] = [None] * len(seqs_a)
-        for idx in _buckets(seqs_a, seqs_b):
+        for key, idx in _buckets(seqs_a, seqs_b):
+            if key is None:  # long pairs: chunked boundary-carry path
+                for i in idx:
+                    results[i] = self.align_long(seqs_a[i], seqs_b[i])
+                continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
             out, na, nb = dp.fill_batch(

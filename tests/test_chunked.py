@@ -59,3 +59,19 @@ def test_chunked_sw_matches_oneshot(chunk):
         for h in sw.align_long(a, b, chunk=chunk)
     ]
     assert chk == one
+
+
+def test_auto_long_routing(monkeypatch):
+    """Pairs over LONG_PAIR_CELLS transparently route through align_long."""
+    import seqalign_tpu.aligners as al
+
+    monkeypatch.setattr(al, "LONG_PAIR_CELLS", 2000)
+    rng = np.random.default_rng(3)
+    a_long, b_long = _rand_seq(rng, 80), _rand_seq(rng, 60)  # 4800 > 2000
+    a_s, b_s = _rand_seq(rng, 20), _rand_seq(rng, 25)
+    nw = NeedlemanWunsch(scoring_system_default())
+    got = nw.align_batch([a_long, a_s], [b_long, b_s])
+    monkeypatch.setattr(al, "LONG_PAIR_CELLS", 64_000_000)
+    want = nw.align_batch([a_long, a_s], [b_long, b_s])
+    assert [(g.result_a, g.result_b, g.score) for g in got] == \
+        [(w.result_a, w.result_b, w.score) for w in want]
