@@ -12,7 +12,7 @@ meshes.
 __version__ = "1.0.0"  # tracks reference SEQ_ALIGN_VERSION_STR (seq_align.h:12)
 
 from .aligners import NeedlemanWunsch, SmithWaterman, lcs_hits
-from .ops.traceback import Alignment
+from .ops.host_dp import Alignment
 from .scoring.config import GAP_A, GAP_B, MATCH, ScoringConfig, encode
 from .scoring.loader import load_matrix, load_pairwise
 from .scoring.presets import (

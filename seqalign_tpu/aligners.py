@@ -2,31 +2,63 @@
 ``needleman_wunsch_{new,align}`` / ``smith_waterman_{new,align,fetch}``
 surface (needleman_wunsch.h:22-32, smith_waterman.h:21-39).
 
-Single-pair calls run the batched device fill with batch=1; ``*_align_batch``
-aligns many pairs per device program (the reference aligns pairs serially in
-a callback loop, alignment_cmdline.c:611-622 — batching is the TPU-native
-replacement).  Shapes are padded to powers of two so repeated calls with
-similar lengths reuse the compiled program.
+Two execution paths, routed per call by workload size:
+
+* **host** (``ops/host_dp.py``): vectorized numpy fill + reverse-move
+  traceback.  No JAX import, no backend init, no compile — a single small
+  pair answers in milliseconds, like the reference binary.  This is the
+  latency path the CLIs ride.
+* **device** (``ops/dp.py`` XLA wavefront / ``ops/pallas_dp.py`` Pallas
+  kernel): batched fills, length-bucketed, padded to powers of two so
+  repeated batches reuse compiled programs.  This is the throughput path
+  (the reference aligns pairs serially in a callback loop,
+  alignment_cmdline.c:611-622 — batching is the TPU-native replacement).
+
+Routing: batches whose total cell count exceeds ``HOST_MAX_CELLS`` (or with
+enough pairs to amortize a device dispatch) go to the device; everything
+else stays on host.  ``SEQALIGN_FORCE=host|device`` pins the path (tests
+use it to cover both).  Results are bit-identical either way — both paths
+are pinned to the reference by the golden corpus.
 """
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from .ops import dp
-from .ops.traceback import Alignment, SwHitIterator, nw_start, nw_traceback
+from .ops import host_dp
+from .ops.host_dp import Alignment
 from .scoring.config import ScoringConfig
 from .scoring.presets import scoring_system_default, scoring_system_sw_default
+
+# Route to the device above this much total DP work (cells) or this many
+# pairs per batch; below it, vectorized numpy fills answer faster than a
+# device dispatch (and infinitely faster than a cold backend+compile).
+HOST_MAX_CELLS = int(os.environ.get("SEQALIGN_HOST_MAX_CELLS", 4_000_000))
+HOST_MAX_PAIRS = 32
+
+# Beyond this many cells per pair, a traceback fill routes to the chunked
+# boundary-carry path to bound device memory (the one-shot fill's skewed
+# substitution scores are ~8 transient bytes/cell).
+LONG_PAIR_CELLS = 64_000_000
+
+
+def _route(total_cells: int, n_pairs: int) -> str:
+    force = os.environ.get("SEQALIGN_FORCE", "")
+    if force in ("host", "device"):
+        return force
+    if total_cells <= HOST_MAX_CELLS and n_pairs <= HOST_MAX_PAIRS:
+        return "host"
+    return "device"
 
 
 def _pallas_eligible(sc: ScoringConfig) -> bool:
     """The Pallas scores kernel covers the default-flags fast path with
     gap_open <= 0 on a real accelerator; everything else uses the XLA path."""
+    import jax
+
     if jax.default_backend() == "cpu":
         return False
     return not (
@@ -36,8 +68,24 @@ def _pallas_eligible(sc: ScoringConfig) -> bool:
 
 
 def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
-    """Scores-only batch dispatch: Pallas kernel when eligible, XLA scan
-    otherwise.  Bit-identical results either way (tests/test_pallas.py)."""
+    """Scores-only batch dispatch: host numpy for small workloads, Pallas
+    kernel when eligible, XLA scan otherwise.  Bit-identical results every
+    way (tests/test_pallas.py, tests/test_host_path.py)."""
+    cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
+    if _route(cells, len(seqs_a)) == "host":
+        out = np.zeros(len(seqs_a), np.int32)
+        for i, (a, b) in enumerate(zip(seqs_a, seqs_b)):
+            M, Ga, Gb = host_dp.fill_matrices(sc, a, b, is_sw)
+            if is_sw:
+                out[i] = M.max(initial=0)
+            else:
+                out[i] = max(M[-1, -1], Ga[-1, -1], Gb[-1, -1])
+        return out
+
+    import jax.numpy as jnp
+
+    from .ops import dp
+
     for sa, sb in zip(seqs_a, seqs_b):
         dp.check_valid_pairs(sc, sa, sb)
     a, na = dp.pad_batch(seqs_a)
@@ -45,7 +93,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     use_pallas = _pallas_eligible(sc) and min(na.min(initial=1),
                                               nb.min(initial=1)) >= 1
     if use_pallas:
-        from .ops.pallas_dp import pallas_scores
+        from .ops.pallas_dp import f32_safe, pallas_scores
 
         la = max(128, dp._next_pow2(a.shape[1]))
         lb = max(128, dp._next_pow2(b.shape[1]))
@@ -57,6 +105,8 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK),
             np.int32(sc.gap_open), np.int32(sc.gap_extend),
             np.int32(sc.dp_floor(is_sw)), is_sw=is_sw,
+            use_f32=f32_safe(sc, la, lb),
+            ss8=bool(np.abs(subK).max(initial=0) <= 127),
         )
         return np.asarray(out)
     out, _, _ = dp.fill_batch(
@@ -68,17 +118,13 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     return np.asarray(out.corner).max(axis=1)
 
 
-# Beyond this many cells per pair, a traceback fill routes to the chunked
-# boundary-carry path to bound device memory (the one-shot fill's skewed
-# substitution scores are ~8 transient bytes/cell).
-LONG_PAIR_CELLS = 64_000_000
-
-
 def _buckets(seqs_a, seqs_b):
     """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
     pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
     are floored at 64 to bound the number of distinct compiled shapes; pairs
     over LONG_PAIR_CELLS go to the dedicated "long" bucket key None."""
+    from .ops import dp
+
     groups = {}
     for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b)):
         if len(sa) * len(sb) > LONG_PAIR_CELLS:
@@ -102,6 +148,16 @@ class NeedlemanWunsch:
     def align_batch(
         self, seqs_a: Sequence[str], seqs_b: Sequence[str]
     ) -> List[Alignment]:
+        cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
+        if _route(cells, len(seqs_a)) == "host":
+            return [host_dp.nw_align(self.scoring, a, b)
+                    for a, b in zip(seqs_a, seqs_b)]
+        return self._align_batch_device(seqs_a, seqs_b)
+
+    def _align_batch_device(self, seqs_a, seqs_b) -> List[Alignment]:
+        from .ops import dp
+        from .ops.traceback import nw_traceback
+
         results: List[Optional[Alignment]] = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
             if key is None:  # long pairs: chunked boundary-carry path
@@ -126,7 +182,7 @@ class NeedlemanWunsch:
         return int(self.score_batch([seq_a], [seq_b])[0])
 
     def score_batch(self, seqs_a, seqs_b) -> np.ndarray:
-        """Scores only — no O(n*m) materialization, pure device compute
+        """Scores only — no O(n*m) dirs materialization on the device path
         (Pallas wavefront kernel on TPU when eligible)."""
         return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=False)
 
@@ -134,7 +190,8 @@ class NeedlemanWunsch:
         """Long-sequence global alignment: chunked fill with boundary-column
         carry (device memory O(chunk * len_b)); traceback walks the streamed
         per-chunk direction codes."""
-        from .ops.traceback import ChunkedDirs
+        from .ops import dp
+        from .ops.traceback import ChunkedDirs, nw_traceback
 
         corner, _, dirs_chunks, _, na, nb = dp.fill_chunked(
             self.scoring, [seq_a], [seq_b], is_sw=False, chunk=chunk,
@@ -144,13 +201,28 @@ class NeedlemanWunsch:
         return nw_traceback(seq_a, seq_b, int(na[0]), int(nb[0]), dirs,
                             corner[0])
 
-    def matrices(self, seq_a: str, seq_b: str):
-        """Full (M, Ga, Gb) row-major matrices for --printmatrices parity."""
+    def align_with_matrices(self, seq_a: str, seq_b: str):
+        """One fill shared by the alignment and the (M, Ga, Gb) row-major
+        matrices (--printmatrices parity without a second fill — the
+        reference prints from live fill state, tools/nw_cmdline.c:107-110)."""
+        if _route(len(seq_a) * len(seq_b), 1) == "host":
+            return host_dp.nw_align_with_matrices(self.scoring, seq_a, seq_b)
+        from .ops import dp
+        from .ops.traceback import nw_traceback
+
         out, na, nb = dp.fill_batch(
-            self.scoring, [seq_a], [seq_b], is_sw=False, emit_dirs=False,
+            self.scoring, [seq_a], [seq_b], is_sw=False, emit_dirs=True,
             emit_m=True, emit_gab=True,
         )
-        return _deskew_all(self.scoring, out, int(na[0]), int(nb[0]), is_sw=False)
+        aln = nw_traceback(seq_a, seq_b, na[0], nb[0],
+                           np.asarray(out.dirs)[0], np.asarray(out.corner)[0])
+        mats = _deskew_all(self.scoring, out, int(na[0]), int(nb[0]),
+                           is_sw=False)
+        return aln, mats
+
+    def matrices(self, seq_a: str, seq_b: str):
+        """Full (M, Ga, Gb) row-major matrices for --printmatrices parity."""
+        return self.align_with_matrices(seq_a, seq_b)[1]
 
 
 class SmithWaterman:
@@ -159,11 +231,21 @@ class SmithWaterman:
     def __init__(self, scoring: Optional[ScoringConfig] = None):
         self.scoring = scoring if scoring is not None else scoring_system_sw_default()
 
-    def align(self, seq_a: str, seq_b: str) -> SwHitIterator:
+    def align(self, seq_a: str, seq_b: str):
         return self.align_batch([seq_a], [seq_b])[0]
 
-    def align_batch(self, seqs_a, seqs_b) -> List[SwHitIterator]:
-        results: List[Optional[SwHitIterator]] = [None] * len(seqs_a)
+    def align_batch(self, seqs_a, seqs_b) -> List:
+        cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
+        if _route(cells, len(seqs_a)) == "host":
+            return [host_dp.HostSwHits(self.scoring, a, b)
+                    for a, b in zip(seqs_a, seqs_b)]
+        return self._align_batch_device(seqs_a, seqs_b)
+
+    def _align_batch_device(self, seqs_a, seqs_b) -> List:
+        from .ops import dp
+        from .ops.traceback import SwHitIterator
+
+        results: List = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
             if key is None:  # long pairs: chunked boundary-carry path
                 for i in idx:
@@ -182,7 +264,7 @@ class SmithWaterman:
                     self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
                     dirs[j], mmat[j],
                 )
-        return results  # type: ignore[return-value]
+        return results
 
     def best_score(self, seq_a: str, seq_b: str) -> int:
         return int(self.best_score_batch([seq_a], [seq_b])[0])
@@ -190,10 +272,10 @@ class SmithWaterman:
     def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
         return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=True)
 
-    def align_long(self, seq_a: str, seq_b: str,
-                   chunk: int = 2048) -> SwHitIterator:
+    def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048):
         """Long-sequence local multi-hit alignment via the chunked fill."""
-        from .ops.traceback import ChunkedDirs, ChunkedM
+        from .ops import dp
+        from .ops.traceback import ChunkedDirs, ChunkedM, SwHitIterator
 
         _, _, dirs_chunks, m_chunks, na, nb = dp.fill_chunked(
             self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,
@@ -205,17 +287,36 @@ class SmithWaterman:
             ChunkedM([c[0] for c in m_chunks], chunk),
         )
 
-    def matrices(self, seq_a: str, seq_b: str):
+    def align_with_matrices(self, seq_a: str, seq_b: str):
+        """One fill shared by the hit iterator and the row-major matrices."""
+        if _route(len(seq_a) * len(seq_b), 1) == "host":
+            mats = host_dp.fill_matrices(self.scoring, seq_a, seq_b,
+                                         is_sw=True)
+            return host_dp.HostSwHits(self.scoring, seq_a, seq_b,
+                                      matrices=mats), mats
+        from .ops import dp
+        from .ops.traceback import SwHitIterator
+
         out, na, nb = dp.fill_batch(
-            self.scoring, [seq_a], [seq_b], is_sw=True, emit_dirs=False,
+            self.scoring, [seq_a], [seq_b], is_sw=True, emit_dirs=True,
             emit_m=True, emit_gab=True,
         )
-        return _deskew_all(self.scoring, out, int(na[0]), int(nb[0]), is_sw=True)
+        hits = SwHitIterator(
+            self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
+            np.asarray(out.dirs)[0], np.asarray(out.mmat)[0],
+        )
+        return hits, _deskew_all(self.scoring, out, int(na[0]), int(nb[0]),
+                                 is_sw=True)
+
+    def matrices(self, seq_a: str, seq_b: str):
+        return self.align_with_matrices(seq_a, seq_b)[1]
 
 
-def _deskew_all(sc: ScoringConfig, out: dp.DPOutputs, na: int, nb: int, *, is_sw):
+def _deskew_all(sc: ScoringConfig, out, na: int, nb: int, *, is_sw):
     """Rebuild row-major matrices incl. the closed-form boundary row/col
     (alignment.c:51-81) the wavefront never materializes."""
+    from .ops import dp
+
     mn = sc.dp_floor(is_sw)
     M = dp.deskew(np.asarray(out.mmat)[0], na, nb, fill=mn)
     Ga = dp.deskew(np.asarray(out.gamat)[0], na, nb, fill=mn)

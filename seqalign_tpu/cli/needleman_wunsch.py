@@ -53,10 +53,13 @@ def main(argv=None):
         if cmd.zam_stle_output:
             align_zam(seq_a, seq_b)
             return
-        r = aligner.align(seq_a, seq_b)
         if cmd.print_matrices:
-            M, Ga, Gb = aligner.matrices(seq_a, seq_b)
+            # one fill serves both the matrix dump and the traceback (the
+            # reference prints from live fill state, tools/nw_cmdline.c:107)
+            r, (M, Ga, Gb) = aligner.align_with_matrices(seq_a, seq_b)
             out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
+        else:
+            r = aligner.align(seq_a, seq_b)
         _print_alignment(r, name_a, name_b)
 
     def align_many(pairs):

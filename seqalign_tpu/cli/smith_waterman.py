@@ -99,8 +99,13 @@ def main(argv=None):
             sys.stderr.flush()
             return
 
+        mats = None
         if hits is None:
-            hits = sw.align(seq_a, seq_b)
+            if cmd.print_matrices:
+                # one fill serves both the dump and the hit iterator
+                hits, mats = sw.align_with_matrices(seq_a, seq_b)
+            else:
+                hits = sw.align(seq_a, seq_b)
         len_a, len_b = len(seq_a), len(seq_b)
 
         out.write("== Alignment %zu lengths (%lu, %lu):\n".replace(
@@ -108,8 +113,9 @@ def main(argv=None):
             % (state["alignment_index"], len_a, len_b))
 
         if cmd.print_matrices:
-            M, Ga, Gb = sw.matrices(seq_a, seq_b)
-            out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
+            if mats is None:
+                mats = sw.matrices(seq_a, seq_b)
+            out.write(print_matrices_str(*mats, seq_a, seq_b, sc))
 
         if cmd.print_fasta and name_a is not None:
             out.write(name_a + "\n")

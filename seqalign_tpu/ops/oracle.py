@@ -131,11 +131,15 @@ def reverse_move(sc: ScoringConfig, a, b, M, Ga, Gb, curr_matrix, curr_score, x,
     raise RuntimeError("traceback fail (get_reverse_move)")  # alignment.c:329-349
 
 
-def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str):
-    """needleman_wunsch_align2 -> (aligned_a, aligned_b, score)."""
+def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str, matrices=None):
+    """needleman_wunsch_align2 -> (aligned_a, aligned_b, score).
+
+    ``matrices`` lets the production host path (ops/host_dp.py) inject its
+    vectorized fill; default is this module's per-cell spec fill."""
     a, b = encode(seq_a), encode(seq_b)
     n, m = len(a), len(b)
-    M, Ga, Gb = fill_matrices(sc, seq_a, seq_b, is_sw=False)
+    M, Ga, Gb = (fill_matrices(sc, seq_a, seq_b, is_sw=False)
+                 if matrices is None else matrices)
 
     # start matrix preference GAP_A >= GAP_B >= MATCH (needleman_wunsch.c:53-66)
     curr, score = MATCH, int(M[m, n])
@@ -175,10 +179,13 @@ def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str):
 class SwOracle:
     """smith_waterman_align + fetch (smith_waterman.c:131-277)."""
 
-    def __init__(self, sc: ScoringConfig, seq_a: str, seq_b: str):
+    def __init__(self, sc: ScoringConfig, seq_a: str, seq_b: str,
+                 matrices=None):
         self.sc = sc
         self.a, self.b = encode(seq_a), encode(seq_b)
-        self.M, self.Ga, self.Gb = fill_matrices(sc, seq_a, seq_b, is_sw=True)
+        self.M, self.Ga, self.Gb = (
+            fill_matrices(sc, seq_a, seq_b, is_sw=True)
+            if matrices is None else matrices)
         w = len(self.a) + 1
         flat = self.M.ravel()  # row-major [y][x] == reference flat layout
         idx = np.nonzero(flat > 0)[0]

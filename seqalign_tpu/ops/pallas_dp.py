@@ -52,12 +52,49 @@ from jax.experimental.pallas import tpu as pltpu
 from .dp import _profile, _shear
 
 POISON = -(1 << 22)  # pad substitution score; |POISON| < 2^24 (MXU-exact)
+POISON8 = -128  # int8 ss-plane marker expanded to POISON in-kernel
 TL = 512  # total lanes per row
+
+
+def _profile_t(codes_a, codes_b, tableK, out_dtype):
+    """Transposed profile PT[b, y, x] = tableK[codes_a[b, x], codes_b[b, y]]
+    via one-hot MXU matmuls — emitted (B, LB, LA) directly so the diagonal
+    shear needs no 256MB transpose.  Exact: one nonzero per contraction."""
+    Ka, Kb = tableK.shape
+    oa = (codes_a[..., None] == jnp.arange(Ka, dtype=codes_a.dtype)).astype(
+        jnp.float32
+    )  # (B, LA, Ka)
+    ob = (codes_b[..., None] == jnp.arange(Kb, dtype=codes_b.dtype)).astype(
+        jnp.float32
+    )  # (B, LB, Kb)
+    pb = jax.lax.dot_general(
+        ob, tableK.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, LB, Ka)
+    pt = jax.lax.dot_general(
+        pb, oa,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (B, LB, LA)
+    return pt.astype(out_dtype)
+
+
+def _shear_t(pt):
+    """Skew a transposed (B, LB, LA) profile to diagonals:
+    out[b, y0, r] = pt[b, y0, r - y0] — the pad+flatten+strided-reshape trick
+    of ``dp._shear`` without its leading transpose."""
+    B, LB, LA = pt.shape
+    W = LA + LB + 2
+    pt = jnp.pad(pt, ((0, 0), (0, 0), (0, W - LA)))
+    flat = pt.reshape(B, LB * W)
+    stride = W - 1
+    return flat[:, : LB * stride].reshape(B, LB, stride)
 
 
 def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
             h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref,
-            *, is_sw, BS, LBt, P, K, DK):
+            *, is_sw, BS, LBt, P, K, DK, dt, ss_i8):
     i32 = jnp.int32
     ib = pl.program_id(0)
     dk = pl.program_id(1)
@@ -79,7 +116,7 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
 
     def shift(v, fillv):
         """Lane shift by one with every block-boundary lane set to fillv."""
-        s = jnp.concatenate([jnp.full((BS, 1), fillv, i32), v[:, : LN - 1]],
+        s = jnp.concatenate([jnp.full((BS, 1), fillv, dt), v[:, : LN - 1]],
                             axis=1)
         if P > 1:
             s = jnp.where(bstart, fillv, s)
@@ -87,7 +124,7 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
 
     @pl.when(dk == 0)
     def _init():
-        zero = jnp.zeros((BS, LN), i32)
+        zero = jnp.zeros((BS, LN), dt)
         if is_sw:
             h_ref[...] = zero
             hs_ref[...] = zero
@@ -109,8 +146,18 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
             es_ref[...] = jnp.where(bstart, mn, sh1)  # Ga[0,1] = mn
             # sh(prev0 h) consumed at d=2 as M-predecessor: boundary fill
             # H[0,0] = 0, no interior lanes
-            hs2_ref[...] = jnp.where(bstart, 0, mn)
+            hs2_ref[...] = jnp.where(bstart, jnp.zeros((), dt), mnv)
             accv_ref[...] = mnv
+
+    # NW + float: the sentinel is a true -inf (adds/maxes are exact and
+    # saturating), so the per-step floor clamps are dropped entirely.
+    clamp = is_sw or dt == jnp.int32
+    zero_dt = jnp.zeros((), dt)
+
+    def drun(d):
+        """Row-0 boundary gap run go + d*ge at traced diagonal d."""
+        dv = jnp.asarray(d, i32)
+        return go + (dv.astype(dt) * ge if dt != i32 else dv * ge)
 
     def sweep(inject_col0: bool):
         h, hs, es, f, hs2 = (
@@ -122,8 +169,18 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
         for k in range(K):
             d = d0 + k
             ss = ss_ref[0, 0, k]
-            e_new = jnp.maximum(jnp.maximum(hs + gop, es + ge), mn)
-            f_new = jnp.maximum(jnp.maximum(h + gop, f + ge), mn)
+            if ss_i8:
+                # int8 ss plane (4x less HBM): expand the pad marker to the
+                # real POISON only for SW (its best-score max is unmasked);
+                # NW never reads pad-lane values (see module docstring).
+                ss = ss.astype(dt)
+                if is_sw:
+                    ss = jnp.where(ss == POISON8, jnp.asarray(POISON, dt), ss)
+            e_new = jnp.maximum(hs + gop, es + ge)
+            f_new = jnp.maximum(h + gop, f + ge)
+            if clamp:
+                e_new = jnp.maximum(e_new, mn)
+                f_new = jnp.maximum(f_new, mn)
             m_arg = hs2 + ss
             h_new = jnp.maximum(m_arg, jnp.maximum(e_new, f_new))
 
@@ -131,25 +188,25 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
                 # x == 0 boundary: cell (d, 0) at local lane d-1
                 at0 = y0 == (d - 1)
                 if is_sw:
-                    h_new = jnp.where(at0, 0, h_new)
-                    e_new = jnp.where(at0, 0, e_new)
-                    f_new = jnp.where(at0, 0, f_new)
+                    h_new = jnp.where(at0, zero_dt, h_new)
+                    e_new = jnp.where(at0, zero_dt, e_new)
+                    f_new = jnp.where(at0, zero_dt, f_new)
                 else:
-                    run = go + d * ge
+                    run = drun(d)
                     h_new = jnp.where(at0, run, h_new)
                     e_new = jnp.where(at0, run, e_new)
                     f_new = jnp.where(at0, mn, f_new)
 
             if is_sw:
                 # poisoned pads keep pad-region M <= 0; unmasked best
-                accv = jnp.maximum(accv, jnp.maximum(m_arg, 0))
+                accv = jnp.maximum(accv, jnp.maximum(m_arg, zero_dt))
             else:
                 h_news.append(h_new)
 
             hs2, hs, es, h, f = (
                 hs,
-                shift(h_new, 0 if is_sw else go + d * ge),
-                shift(e_new, 0 if is_sw else mn),
+                shift(h_new, zero_dt if is_sw else drun(d)),
+                shift(e_new, zero_dt if is_sw else mn),
                 h_new,
                 f_new,
             )
@@ -193,7 +250,9 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
 
 def int16_safe(sc, LA, LB, is_sw) -> bool:
     """True when every DP value / boundary run / intermediate sum provably
-    fits int16 (reserved for a future int16 kernel mode)."""
+    fits int16.  (Probed again round 2: Mosaic still rejects int16 vector
+    ops on this part — tools/exp_vpu.py --dtype int16 fails in the TPU
+    compiler — so this gate stays unused; f32 is the fast mode instead.)"""
     L = LA + LB
     mp = max(abs(sc.min_penalty), abs(sc.max_penalty))
     vmax = max(0, sc.max_penalty) * L + mp
@@ -201,20 +260,51 @@ def int16_safe(sc, LA, LB, is_sw) -> bool:
     return L < 32000 and max(vmax, run + 2 * mp) < 32000
 
 
+def f32_safe(sc, LA, LB) -> bool:
+    """True when the f32 kernel mode is provably bit-exact: every DP value,
+    boundary run, and intermediate sum is an integer of magnitude < 2**24
+    (f32 integer arithmetic is exact below the 24-bit mantissa limit).
+
+    Bound: |any matrix value| <= (LA+LB+2) * mp + |gap_open| where mp is the
+    largest per-step penalty magnitude (substitution or gap step — the
+    reference tracks these as min/max_penalty, alignment_scoring.c:49-54);
+    the largest intermediate is m_arg = H + POISON."""
+    L = LA + LB + 2
+    mp = max(abs(sc.min_penalty), abs(sc.max_penalty),
+             abs(sc.gap_open) + abs(sc.gap_extend), 1)
+    bound = L * mp + abs(sc.gap_open)
+    return bound + abs(POISON) < (1 << 24) - (1 << 22)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("is_sw", "interpret", "unroll", "bs")
+    jax.jit,
+    static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8"),
 )
 def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   *, is_sw: bool, interpret: bool = False,
-                  unroll: int = 8, bs: int = 128):
+                  unroll: int = 8, bs: int = 128, use_f32: bool = True,
+                  ss8: bool = True):
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
 
     ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
     be a multiple of 128 and <= 512.  Returns (B,) int32.
+
+    ``use_f32`` runs the DP in float32 — bit-exact while every value stays
+    under 2**24 in magnitude (f32 add/max on integers is exact there), with
+    a true ``-inf`` NW sentinel that makes the floor clamps free.  The VPU
+    runs f32 elementwise ops ~5x faster than int32 on this part (measured
+    with tools/exp_vpu.py), so this is the default; callers must gate it
+    with :func:`f32_safe` and fall back to the int32 kernel otherwise.
+
+    ``ss8`` streams the sheared substitution-score planes as int8 (4x less
+    HBM traffic + copy cost in the prologue, which dominated round 1 at
+    ~65% of wall time).  Callers must guarantee max|subK| <= 127 (every
+    shipped scoring matrix qualifies); -128 is reserved as the pad marker.
     """
     del imK  # scores-only path never needs the is-match table
     B, LA = ac.shape
     _, LBt = bc.shape
+    dt = jnp.float32 if use_f32 else jnp.int32
     P = max(1, TL // LBt)
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1  # packing requires a power-of-two block (bitwise-and mod)
@@ -243,10 +333,14 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     bc = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None], bc, Kb
     )
-    subK = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
-
-    p = _profile(ac, bc, subK, jnp.int32)  # (Bp, LA, LBt)
-    ss = _shear(p)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
+    if ss8:
+        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
+        sdt = jnp.int8
+    else:
+        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
+        sdt = dt
+    pt = _profile_t(ac, bc, subKp, sdt)  # (Bp, LBt, LA)
+    ss = _shear_t(pt)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
     ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
     # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s, block p
     ss = ss.reshape(nB, BS, P, LBt, DK * K)
@@ -265,12 +359,16 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 
     nsum = (na32 + nb32).reshape(nB, BS * P)
     drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
-    scal = jnp.array(
-        [gap_open, gap_extend, mn, 0, 0, 0, 0, 0], dtype=jnp.int32
-    )
+    if use_f32 and not is_sw:
+        mn_val = -jnp.inf  # true sentinel: saturating, clamp-free
+    else:
+        mn_val = jnp.asarray(mn, dt)
+    scal = jnp.array([gap_open, gap_extend, 0, 0, 0, 0, 0, 0],
+                     dtype=dt).at[2].set(mn_val)
 
     kernel = functools.partial(
-        _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK
+        _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
+        ss_i8=ss8,
     )
     out = pl.pallas_call(
         kernel,
@@ -282,10 +380,10 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nB, BS, LN), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((BS, LN), jnp.int32)] * 6,
+        out_shape=jax.ShapeDtypeStruct((nB, BS, LN), dt),
+        scratch_shapes=[pltpu.VMEM((BS, LN), dt)] * 6,
         interpret=interpret,
     )(ss, nabl, drange, scal)
     # reduce each pair's lane block to its score
     out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
-    return out[:B]
+    return out[:B].astype(jnp.int32)

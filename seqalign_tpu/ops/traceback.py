@@ -19,26 +19,13 @@ already-visited cell aborts *leaving its partial marks in place*
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Iterator, Optional
 
 import numpy as np
 
 from ..scoring.config import ScoringConfig, encode
 from .dp import DIR_FAIL, GAP_A, GAP_B, MATCH
-
-
-@dataclasses.dataclass
-class Alignment:
-    """Result record mirroring ``alignment_t`` (alignment.h:33-40)."""
-
-    result_a: str
-    result_b: str
-    score: int
-    pos_a: int = 0
-    pos_b: int = 0
-    len_a: int = 0
-    len_b: int = 0
+from .host_dp import Alignment  # canonical result record (jax-free module)
 
 
 class ChunkedDirs:

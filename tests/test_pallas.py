@@ -44,3 +44,23 @@ def test_pallas_scores_match_xla(is_sw, B, LA, LB, unroll):
     )
     want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_f32,ss8", [(False, False), (False, True),
+                                         (True, False), (True, True)])
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_dtype_modes_match_xla(is_sw, use_f32, ss8):
+    """The f32 DP mode (exact < 2**24 with a -inf NW sentinel) and the int8
+    substitution-plane mode must be bit-identical to the int32 kernel."""
+    sc = scoring_system_sw_default() if is_sw else scoring_system_default()
+    args = _setup(sc, 8, 96, 128, seed=3 + is_sw, is_sw=is_sw)
+    got = np.asarray(
+        pallas_scores(*args, is_sw=is_sw, interpret=True, use_f32=use_f32,
+                      ss8=ss8)
+    )
+    ref = dp.dp_fill(
+        *args, is_sw=is_sw, nsg=False, neg=False, nga=False, ngb=False,
+        nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
+    np.testing.assert_array_equal(got, want)

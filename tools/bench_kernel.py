@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--LB", type=int, default=0, help="b length (default = L)")
     ap.add_argument("--sw", action="store_true")
     ap.add_argument("--i16", action="store_true")
+    ap.add_argument("--i32", action="store_true", help="force int32 kernel")
     ap.add_argument("--unroll", type=int, default=8)
     ap.add_argument("--bs", type=int, default=128)
     ap.add_argument("--xla", action="store_true", help="bench the XLA path")
@@ -106,6 +107,7 @@ def main():
                     s = pallas_scores(
                         aa, bc, na_d, nb_d, subK, imK, go, ge, mn,
                         is_sw=args.sw, unroll=args.unroll, bs=args.bs,
+                        use_f32=not args.i32,
                     )
                 return carry + s.sum() * salt, None
             tot, _ = jax.lax.scan(body, jnp.int32(0), xs)
@@ -115,9 +117,9 @@ def main():
     fixed, per_fill, res = fit_fills(make_scan_fn, inputs_for)
     cells = B * L * LB
     print(
-        "B=%d L=%d(LB=%d) sw=%s i16=%s unroll=%d bs=%d xla=%s: fixed %.4fs per-fill "
+        "B=%d L=%d(LB=%d) sw=%s f32=%s unroll=%d bs=%d xla=%s: fixed %.4fs per-fill "
         "%.6fs -> %.1f GCUPS" % (
-            B, L, LB, args.sw, args.i16, args.unroll, args.bs, args.xla, fixed,
+            B, L, LB, args.sw, not args.i32, args.unroll, args.bs, args.xla, fixed,
             per_fill,
             cells / per_fill / 1e9,
         )
