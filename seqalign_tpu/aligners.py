@@ -54,13 +54,29 @@ def _route(total_cells: int, n_pairs: int) -> str:
     return "device"
 
 
-def _pallas_eligible(sc: ScoringConfig) -> bool:
-    """The Pallas scores kernel covers the default-flags fast path with
-    gap_open <= 0 on a real accelerator; everything else uses the XLA path."""
-    import jax
+def _pallas_mode() -> str:
+    """SEQALIGN_PALLAS: '' (auto: TPU only) | 'off' | 'interpret' (force the
+    kernels through the Pallas interpreter on CPU — test wiring coverage)."""
+    return os.environ.get("SEQALIGN_PALLAS", "")
 
-    if jax.default_backend() == "cpu":
+
+def _pallas_pad_floor() -> int:
+    """Minimum (LA, LB) pad for Pallas dispatch — 128 keeps TPU lanes full;
+    tests lower it so interpret-mode runs stay small."""
+    return int(os.environ.get("SEQALIGN_PALLAS_FLOOR", "128"))
+
+
+def _pallas_eligible(sc: ScoringConfig) -> bool:
+    """The Pallas kernels cover the default-flags fast path with
+    gap_open <= 0 on a real accelerator; everything else uses the XLA path."""
+    mode = _pallas_mode()
+    if mode == "off":
         return False
+    if mode != "interpret":
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return False
     return not (
         sc.no_start_gap_penalty or sc.no_end_gap_penalty or sc.no_gaps_in_a
         or sc.no_gaps_in_b or sc.no_mismatches
@@ -95,8 +111,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     if use_pallas:
         from .ops.pallas_dp import f32_safe, pallas_scores
 
-        la = max(128, dp._next_pow2(a.shape[1]))
-        lb = max(128, dp._next_pow2(b.shape[1]))
+        floor = _pallas_pad_floor()
+        la = max(floor, dp._next_pow2(a.shape[1]))
+        lb = max(floor, dp._next_pow2(b.shape[1]))
         a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
         b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
         ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
@@ -107,6 +124,8 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             np.int32(sc.dp_floor(is_sw)), is_sw=is_sw,
             use_f32=f32_safe(sc, la, lb),
             ss8=bool(np.abs(subK).max(initial=0) <= 127),
+            interpret=_pallas_mode() == "interpret",
+            bs=_pallas_bs(len(seqs_a), lb),
         )
         return np.asarray(out)
     out, _, _ = dp.fill_batch(
@@ -116,6 +135,73 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     if is_sw:
         return np.asarray(out.best)
     return np.asarray(out.corner).max(axis=1)
+
+
+def _pallas_bs(n_pairs: int, lbt: int) -> int:
+    """Batch-chunk sublanes for the Pallas kernels: lane packing fits P
+    pairs per vector row, so a full (bs, P*LBt) tile holds bs*P pairs —
+    don't pad a small batch up to 128 sublanes' worth.  Power-of-two to
+    bound compile-shape count."""
+    from .ops import dp
+    from .ops.pallas_dp import TL
+
+    P = max(1, TL // lbt)
+    if P > 1 and (lbt & (lbt - 1)) != 0:
+        P = 1
+    need = -(-n_pairs // P)
+    return max(8, min(128, dp._next_pow2(need)))
+
+
+def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
+    """Try the Pallas direction-code kernel for a bucket (default-flags fast
+    path on a real accelerator).  Returns (dirs_accessor, m_accessor,
+    corner, na, nb, geometry) or None for XLA fallback."""
+    if not _pallas_eligible(sc):
+        return None
+    from .ops import dp
+
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    if min(na.min(initial=1), nb.min(initial=1)) < 1:
+        return None  # empty seqs: corner capture starts at diagonal 2
+    floor = _pallas_pad_floor()
+    la = max(floor, dp._next_pow2(a.shape[1]))
+    lb = max(floor, dp._next_pow2(b.shape[1]))
+    if lb > 512 or la * lb > LONG_PAIR_CELLS:
+        return None  # VMEM budget: 12 (BS, P*LBt) state planes
+    import jax.numpy as jnp
+
+    from .ops.pallas_dp import (
+        f32_safe, pack_geometry, pallas_fill_dirs, unpack_pair_plane,
+    )
+
+    a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
+    b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    del imK
+    bs = _pallas_bs(len(seqs_a), lb)
+    dirs, m, corner = pallas_fill_dirs(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
+        use_f32=f32_safe(sc, la, lb),
+        ss8=bool(np.abs(subK).max(initial=0) <= 127),
+        interpret=_pallas_mode() == "interpret",
+        bs=bs,
+    )
+    geo = pack_geometry(la, lb, bs=bs)
+    dirs_np = np.asarray(dirs)
+    m_np = np.asarray(m) if m is not None else None
+    corner_np = np.asarray(corner) if corner is not None else None
+
+    def planes(j, _arr=dirs_np):
+        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"])
+
+    def mplanes(j, _arr=m_np):
+        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"])
+
+    return planes, (mplanes if m_np is not None else None), corner_np, na, \
+        nb, geo
 
 
 def _buckets(seqs_a, seqs_b):
@@ -166,6 +252,14 @@ class NeedlemanWunsch:
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
+            fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=False)
+            if fast is not None:
+                planes, _, corner, na, nb, geo = fast
+                for j, i in enumerate(idx):
+                    results[i] = nw_traceback(
+                        ga[j], gb[j], na[j], nb[j], planes(j), corner[j]
+                    )
+                continue
             out, na, nb = dp.fill_batch(
                 self.scoring, ga, gb, is_sw=False, emit_dirs=True,
                 pow2_pad=True,
@@ -253,6 +347,15 @@ class SmithWaterman:
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
+            fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=True)
+            if fast is not None:
+                planes, mplanes, _, na, nb, geo = fast
+                for j, i in enumerate(idx):
+                    results[i] = SwHitIterator(
+                        self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
+                        planes(j), mplanes(j),
+                    )
+                continue
             out, na, nb = dp.fill_batch(
                 self.scoring, ga, gb, is_sw=True, emit_dirs=True,
                 emit_m=True, pow2_pad=True,

@@ -248,6 +248,191 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
         out_ref[0] = accv_ref[...]
 
 
+def _dirs_kernel(ss_ref, nabl_ref, drange_ref, scal_ref,
+                 dirs_ref, m_ref, corn_ref,
+                 sm_ref, sga_ref, sgb_ref,      # S(d): unshifted
+                 hm_ref, hga_ref, hgb_ref,      # SH(d): shifted
+                 h2m_ref, h2ga_ref, h2gb_ref,   # SH(d-1): shifted
+                 cm_ref, cga_ref, cgb_ref,      # NW corner accumulators
+                 *, is_sw, emit_m, BS, LBt, P, K, DK, dt):
+    """Full three-matrix fill emitting packed 2-bit direction codes (and the
+    M matrix for SW) — the Pallas replacement for the XLA dirs scan on the
+    default-flags fast path.
+
+    Recurrence: alignment.c:89-167 (no free-end/no-gaps/no-mismatch modes
+    here — those stay on the XLA path).  Direction codes replicate
+    alignment_reverse_move's guard/equality/priority procedure
+    (GAP_A > GAP_B > MATCH, alignment.c:311-327): with default flags the
+    no-gaps guards are vacuous, and each equality ``pred + penalty == curr``
+    is evaluated on the same values the fill just computed, so codes match
+    the XLA scan on every cell a traceback can visit.
+    """
+    i32 = jnp.int32
+    ib = pl.program_id(0)
+    dk = pl.program_id(1)
+    d0 = dk * K + 2
+    go = scal_ref[0]
+    ge = scal_ref[1]
+    mn = scal_ref[2]
+    gop = go + ge
+
+    LN = P * LBt
+    y0 = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    if P > 1:
+        y0 = y0 & (LBt - 1)
+    bstart = y0 == 0
+
+    def shift(v, fillv):
+        s = jnp.concatenate([jnp.full((BS, 1), fillv, dt), v[:, : LN - 1]],
+                            axis=1)
+        if P > 1:
+            s = jnp.where(bstart, fillv, s)
+        return s
+
+    def drun(d):
+        dv = jnp.asarray(d, i32)
+        return go + (dv.astype(dt) * ge if dt != i32 else dv * ge)
+
+    zero_dt = jnp.zeros((), dt)
+
+    @pl.when(dk == 0)
+    def _init():
+        zero = jnp.zeros((BS, LN), dt)
+        if is_sw:
+            for r in (sm_ref, sga_ref, sgb_ref, hm_ref, hga_ref, hgb_ref,
+                      h2m_ref, h2ga_ref, h2gb_ref):
+                r[...] = zero
+        else:
+            run1 = gop
+            mnv = zero + mn
+            # S(1): lane0 = cell (1,0) = (mn, run1, mn); rest mn
+            sm_ref[...] = mnv
+            sga_ref[...] = jnp.where(bstart, run1, mn)
+            sgb_ref[...] = mnv
+            # SH(1): lane0 = cell (0,1) = (mn, mn, run1);
+            #        lane1 = cell (1,0) = (mn, run1, mn); rest mn
+            at1 = y0 == 1
+            hm_ref[...] = mnv
+            hga_ref[...] = jnp.where(at1, run1, mn)
+            hgb_ref[...] = jnp.where(bstart, run1, mn)
+            # SH(0): lane0 = cell (0,0) = (0, 0, 0); rest mn
+            z0 = jnp.where(bstart, zero_dt, mnv)
+            h2m_ref[...] = z0
+            h2ga_ref[...] = z0
+            h2gb_ref[...] = z0
+        if not is_sw:
+            ninf = zero + mn
+            cm_ref[...] = ninf
+            cga_ref[...] = ninf
+            cgb_ref[...] = ninf
+
+    def pick(ga_ok, gb_ok, m_ok):
+        # enum Matrix: MATCH=0, GAP_A=1, GAP_B=2; 3 = traceback-fail marker
+        return jnp.where(
+            ga_ok, 1, jnp.where(gb_ok, 2, jnp.where(m_ok, 0, 3))
+        ).astype(jnp.int32)
+
+    def sweep(inject_col0: bool):
+        pm1, pga1, pgb1 = sm_ref[...], sga_ref[...], sgb_ref[...]
+        m1s, ga1s, gb1s = hm_ref[...], hga_ref[...], hgb_ref[...]
+        m2s, ga2s, gb2s = h2m_ref[...], h2ga_ref[...], h2gb_ref[...]
+        if not is_sw:
+            cm, cga, cgb = cm_ref[...], cga_ref[...], cgb_ref[...]
+            nal = nabl_ref[0, 0]
+            nbl = nabl_ref[0, 1]
+            lane_nb = y0 == (nbl - 1)
+            dlo = drange_ref[ib, 0]
+            dhi = drange_ref[ib, 1]
+            cap = (d0 <= dhi) & (d0 + K > dlo)
+        for k in range(K):
+            d = d0 + k
+            ss = ss_ref[0, 0, k]
+            if ss.dtype != dt:
+                ss = ss.astype(dt)
+            amax = jnp.maximum(jnp.maximum(m2s, ga2s), gb2s)
+            m_arg = amax + ss
+            Mv = jnp.maximum(m_arg, zero_dt) if is_sw else m_arg
+            s1 = m1s + gop
+            s2 = ga1s + ge
+            s3 = gb1s + gop
+            ga_v = jnp.maximum(jnp.maximum(s1, s2), s3)
+            t1 = pm1 + gop
+            t2 = pga1 + gop
+            t3 = pgb1 + ge
+            gb_v = jnp.maximum(jnp.maximum(t1, t2), t3)
+            if is_sw:
+                ga_v = jnp.maximum(ga_v, zero_dt)
+                gb_v = jnp.maximum(gb_v, zero_dt)
+
+            # direction codes (priority GAP_A > GAP_B > MATCH); the
+            # ga2s + ss == Mv check reduces to ga2s == amax — except where
+            # the SW floor clamped Mv to 0 (then every pred+ss test fails
+            # and the XLA path emits DIR_FAIL; such cells have M == 0 and
+            # are never read by a traceback, but keep planes bit-identical)
+            dm = pick(ga2s == amax, gb2s == amax, m2s == amax)
+            if is_sw:
+                dm = jnp.where(m_arg == Mv, dm, 3)
+            dga = pick(s2 == ga_v, s3 == ga_v, s1 == ga_v)
+            dgb = pick(t2 == gb_v, t3 == gb_v, t1 == gb_v)
+            dirs_ref[0, 0, k] = (dm | (dga << 2) | (dgb << 4)).astype(
+                jnp.uint8)
+            if emit_m:
+                m_ref[0, 0, k] = Mv.astype(jnp.int32)
+
+            if inject_col0:
+                at0 = y0 == (d - 1)
+                if is_sw:
+                    Mv = jnp.where(at0, zero_dt, Mv)
+                    ga_v = jnp.where(at0, zero_dt, ga_v)
+                    gb_v = jnp.where(at0, zero_dt, gb_v)
+                else:
+                    Mv = jnp.where(at0, mn, Mv)
+                    ga_v = jnp.where(at0, drun(d), ga_v)
+                    gb_v = jnp.where(at0, mn, gb_v)
+
+            if not is_sw:
+                hit = (nal + nbl) == d
+                sel = lane_nb & hit
+                cm = jnp.where(sel, Mv, cm)
+                cga = jnp.where(sel, ga_v, cga)
+                cgb = jnp.where(sel, gb_v, cgb)
+
+            # rotate carries: SH(d-1) <- SH(d); SH(d) <- shift(S(d+1));
+            # S <- new.  Row-0 boundary fills (alignment.c:59-81): cell
+            # (0, d) = (mn, mn, run(d)) for NW, zeros for SW.
+            m2s, ga2s, gb2s = m1s, ga1s, gb1s
+            if is_sw:
+                m1s = shift(Mv, zero_dt)
+                ga1s = shift(ga_v, zero_dt)
+                gb1s = shift(gb_v, zero_dt)
+            else:
+                m1s = shift(Mv, mn)
+                ga1s = shift(ga_v, mn)
+                gb1s = shift(gb_v, drun(d))
+            pm1, pga1, pgb1 = Mv, ga_v, gb_v
+
+        sm_ref[...], sga_ref[...], sgb_ref[...] = pm1, pga1, pgb1
+        hm_ref[...], hga_ref[...], hgb_ref[...] = m1s, ga1s, gb1s
+        h2m_ref[...], h2ga_ref[...], h2gb_ref[...] = m2s, ga2s, gb2s
+        if not is_sw:
+            cm_ref[...], cga_ref[...], cgb_ref[...] = cm, cga, cgb
+
+    @pl.when(d0 <= LBt + K)
+    def _with_inject():
+        sweep(True)
+
+    @pl.when(d0 > LBt + K)
+    def _without_inject():
+        sweep(False)
+
+    if not is_sw:
+        @pl.when(dk == DK - 1)
+        def _emit():
+            corn_ref[0, 0] = cm_ref[...]
+            corn_ref[0, 1] = cga_ref[...]
+            corn_ref[0, 2] = cgb_ref[...]
+
+
 def int16_safe(sc, LA, LB, is_sw) -> bool:
     """True when every DP value / boundary run / intermediate sum provably
     fits int16.  (Probed again round 2: Mosaic still rejects int16 vector
@@ -387,3 +572,149 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     # reduce each pair's lane block to its score
     out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
     return out[:B].astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
+                     "use_f32", "ss8"),
+)
+def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
+                     *, is_sw: bool, emit_m: bool, interpret: bool = False,
+                     unroll: int = 8, bs: int = 128, use_f32: bool = True,
+                     ss8: bool = True):
+    """Batched full fill with packed direction codes on TPU via Pallas —
+    the fast path behind ``dp.fill_batch(emit_dirs=True)`` for default
+    scoring flags (other modes use the XLA scan).
+
+    Returns ``(dirs, m, corner)``:
+      dirs: (nB, DKK, BS, LN) uint8 lane-packed planes (see
+            :func:`unpack_pair_plane` for per-pair extraction);
+      m:    same layout int32 M-matrix values (SW candidates), or None;
+      corner: (B, 3) int32 — M/Ga/Gb at (nb, na) per pair (NW), or None.
+    """
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    dt = jnp.float32 if use_f32 else jnp.int32
+    P = max(1, TL // LBt)
+    if P > 1 and (LBt & (LBt - 1)) != 0:
+        P = 1
+    LN = P * LBt
+    D = LA + LBt - 1
+    K = unroll
+    DK = -(-D // K)
+
+    BS = min(bs, 128)
+    Bp = -(-B // (BS * P)) * (BS * P)
+    if Bp != B:
+        pad = Bp - B
+        ac = jnp.pad(ac, ((0, pad), (0, 0)))
+        bc = jnp.pad(bc, ((0, pad), (0, 0)))
+        na = jnp.pad(na, (0, pad), constant_values=1)
+        nb = jnp.pad(nb, (0, pad), constant_values=1)
+    nB = Bp // (BS * P)
+
+    Ka, Kb = subK.shape
+    ac = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None], ac, Ka
+    )
+    bc = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None], bc, Kb
+    )
+    # pads never feed cells a traceback can visit, so the pad substitution
+    # value is immaterial here; keep the same markers as pallas_scores
+    if ss8:
+        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
+        sdt = jnp.int8
+    else:
+        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
+        sdt = dt
+    pt = _profile_t(ac, bc, subKp, sdt)
+    ss = _shear_t(pt)[:, :, :D]
+    ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
+    ss = ss.reshape(nB, BS, P, LBt, DK * K)
+    ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
+    ss = ss.reshape(nB, DK, K, BS, LN)
+
+    na32 = na.astype(jnp.int32)
+    nb32 = nb.astype(jnp.int32)
+    nalane = jnp.broadcast_to(
+        na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+    ).reshape(nB, 1, BS, LN)
+    nblane = jnp.broadcast_to(
+        nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+    ).reshape(nB, 1, BS, LN)
+    nabl = jnp.concatenate([nalane, nblane], axis=1)
+    nsum = (na32 + nb32).reshape(nB, BS * P)
+    drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
+    if use_f32 and not is_sw:
+        mn_val = -jnp.inf
+    else:
+        mn_val = jnp.asarray(mn, dt)
+    scal = jnp.array([gap_open, gap_extend, 0, 0, 0, 0, 0, 0],
+                     dtype=dt).at[2].set(mn_val)
+
+    kernel = functools.partial(
+        _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
+        DK=DK, dt=dt,
+    )
+    mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
+    mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m
+            else (lambda i, d: (0, 0, 0, 0, 0)))
+    dirs, m, corn = pl.pallas_call(
+        kernel,
+        grid=(nB, DK),
+        in_specs=[
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+            pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 1 if not emit_m else K, 8 if not emit_m
+                          else BS, 128 if not emit_m else LN), mmap),
+            pl.BlockSpec((1, 3, BS, LN), lambda i, d: (i, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nB, DK, K, BS, LN), jnp.uint8),
+            jax.ShapeDtypeStruct(mshape, jnp.int32),
+            jax.ShapeDtypeStruct((nB, 3, BS, LN), dt),
+        ),
+        scratch_shapes=[pltpu.VMEM((BS, LN), dt)] * 12,
+        interpret=interpret,
+    )(ss, nabl, drange, scal)
+    dirs = dirs.reshape(nB, DK * K, BS, LN)
+    m_out = m.reshape(nB, DK * K, BS, LN) if emit_m else None
+    corner = None
+    if not is_sw:
+        INT_MIN32 = jnp.int32(np.iinfo(np.int32).min)
+        c = corn.reshape(nB, 3, BS, P, LBt)
+        if dt == jnp.float32:
+            c = jnp.where(jnp.isinf(c), jnp.float32(INT_MIN32), c)
+        c = c.max(axis=4)  # only lane nb-1 was ever written per pair
+        corner = (c.transpose(0, 2, 3, 1).reshape(Bp, 3)[:B]
+                  .astype(jnp.int32))
+    return dirs, m_out, corner
+
+
+def pack_geometry(LA: int, LBt: int, bs: int = 128) -> dict:
+    """Lane-packing geometry shared by the kernels and host-side unpackers."""
+    P = max(1, TL // LBt)
+    if P > 1 and (LBt & (LBt - 1)) != 0:
+        P = 1
+    return dict(P=P, LN=P * LBt, D=LA + LBt - 1, BS=min(bs, 128))
+
+
+def unpack_pair_plane(planes: np.ndarray, j: int, BS: int, P: int,
+                      LBt: int, D: int) -> np.ndarray:
+    """Extract pair ``j``'s skewed (D, LBt+1) plane (lane = y, dummy lane 0)
+    from a lane-packed (nB, DKK, BS, LN) kernel output — host-side numpy,
+    matching ``dp.dp_fill``'s per-pair dirs/mmat layout."""
+    i, r = divmod(j, BS * P)
+    s, p = divmod(r, P)
+    sl = planes[i, :D, s, p * LBt:(p + 1) * LBt]
+    out = np.empty((D, LBt + 1), dtype=planes.dtype)
+    out[:, 1:] = sl
+    out[:, 0] = 0
+    return out

@@ -75,6 +75,72 @@ def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     return jax.jit(sharded)
 
 
+def make_sharded_fill_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
+                         emit_m: bool = False, axis: str = "pairs"):
+    """Compile fn(a, b, na, nb, subK, imK) -> (dirs, mmat|None, corner, best)
+    with the pair batch sharded across the mesh — the full-traceback fill
+    for multi-chip batches (host traceback then walks per-pair planes)."""
+    flags = _flags(sc, is_sw)
+    go = np.int32(sc.gap_open)
+    ge = np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(is_sw))
+
+    def local_fill(a, b, na, nb, subK, imK):
+        out = dp.dp_fill(
+            a, b, na, nb, subK, imK, go, ge, mn,
+            emit_dirs=True, emit_m=emit_m, emit_gab=False, **flags,
+        )
+        mm = out.mmat if emit_m else jnp.zeros((a.shape[0],), jnp.int32)
+        return out.dirs, mm, out.corner, out.best
+
+    sharded = shard_map(
+        local_fill,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
+
+
+def sharded_align_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                        mesh: Optional[Mesh] = None):
+    """Full alignments with the fill sharded over the mesh: NW returns a
+    list of Alignment, SW a list of SwHitIterator — identical results to the
+    single-device path (the traceback walks the same direction codes)."""
+    from ..ops.traceback import SwHitIterator, nw_traceback
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n = len(seqs_a)
+    nd = mesh.devices.size
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    rem = (-n) % nd
+    if rem:
+        a = np.pad(a, ((0, rem), (0, 0)))
+        b = np.pad(b, ((0, rem), (0, 0)))
+        na = np.pad(na, (0, rem), constant_values=1)
+        nb = np.pad(nb, (0, rem), constant_values=1)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    fn = make_sharded_fill_fn(sc, mesh, is_sw=is_sw, emit_m=is_sw)
+    dirs, mmat, corner, best = fn(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK),
+    )
+    dirs = np.asarray(dirs)
+    corner = np.asarray(corner)
+    if is_sw:
+        mmat = np.asarray(mmat)
+        return [
+            SwHitIterator(sc, seqs_a[j], seqs_b[j], int(na[j]), int(nb[j]),
+                          dirs[j], mmat[j])
+            for j in range(n)
+        ]
+    return [
+        nw_traceback(seqs_a[j], seqs_b[j], na[j], nb[j], dirs[j], corner[j])
+        for j in range(n)
+    ]
+
+
 def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                         mesh: Optional[Mesh] = None) -> np.ndarray:
     """Host convenience: pad + pad batch to mesh multiple, run, unpad."""

@@ -1,10 +1,25 @@
 """Test config: force an 8-device virtual CPU mesh so sharding tests run
 anywhere (the driver validates real multi-chip separately via
-__graft_entry__.dryrun_multichip)."""
+__graft_entry__.dryrun_multichip).
+
+Forcing CPU takes three steps on an axon-tunnel machine because the
+``/root/.axon_site/sitecustomize.py`` hook registers the TPU plugin at
+interpreter start and writes ``jax_platforms=axon,cpu`` straight into the
+jax config (env vars alone cannot win):
+
+* ``PALLAS_AXON_POOL_IPS=""`` — stops the sitecustomize hook in every
+  *subprocess* tests spawn (CLI byte-parity runs, Perl wrappers, the
+  multi-process distributed test).  Only one process may hold the TPU
+  tunnel; tests must never touch it.
+* ``JAX_PLATFORMS=cpu`` — normal env selection for subprocesses.
+* ``jax.config.update("jax_platforms", "cpu")`` — overrides the config the
+  sitecustomize hook already wrote into *this* process.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,3 +29,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -64,3 +64,93 @@ def test_pallas_dtype_modes_match_xla(is_sw, use_f32, ss8):
     )
     want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Direction-code kernel (pallas_fill_dirs): planes must be bit-identical to
+# the XLA dirs scan on every interior cell, and the aligner wiring must
+# produce byte-identical alignments.
+# ---------------------------------------------------------------------------
+
+from seqalign_tpu.ops.pallas_dp import (  # noqa: E402
+    pack_geometry,
+    pallas_fill_dirs,
+    unpack_pair_plane,
+)
+
+
+@pytest.mark.parametrize("is_sw,use_f32", [(False, True), (False, False),
+                                           (True, True), (True, False)])
+def test_pallas_dirs_match_xla(is_sw, use_f32):
+    sc = scoring_system_sw_default() if is_sw else scoring_system_default()
+    rng = np.random.default_rng(7 + is_sw)
+    B, LA, LB = 3, 24, 16
+    lut = np.frombuffer(b"acgt", dtype=np.uint8)
+    a = lut[rng.integers(0, 4, (B, LA))]
+    b = lut[rng.integers(0, 4, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    mn = np.int32(sc.dp_floor(is_sw))
+    dirs, m, corner = pallas_fill_dirs(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        mn, is_sw=is_sw, emit_m=is_sw, use_f32=use_f32, interpret=True,
+        bs=8, unroll=4,
+    )
+    geo = pack_geometry(LA, LB, bs=8)
+    dirs_np = np.asarray(dirs)
+    m_np = np.asarray(m) if m is not None else None
+
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), np.int32(sc.gap_open),
+        np.int32(sc.gap_extend), mn, is_sw=is_sw, nsg=False, neg=False,
+        nga=False, ngb=False, nmm=False, emit_dirs=True, emit_m=is_sw,
+        emit_gab=False,
+    )
+    xd = np.asarray(ref.dirs)
+    xm = np.asarray(ref.mmat) if is_sw else None
+    xc = np.asarray(ref.corner)
+    for j in range(B):
+        pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB, geo["D"])
+        naj, nbj = int(na[j]), int(nb[j])
+        for y in range(1, nbj + 1):
+            r0 = y - 1
+            np.testing.assert_array_equal(
+                pd[r0:r0 + naj, y], xd[j][r0:r0 + naj, y],
+                err_msg=f"dirs pair {j} y={y}",
+            )
+            if is_sw:
+                pm = unpack_pair_plane(m_np, j, geo["BS"], geo["P"], LB,
+                                       geo["D"])
+                np.testing.assert_array_equal(
+                    pm[r0:r0 + naj, y], xm[j][r0:r0 + naj, y],
+                    err_msg=f"M pair {j} y={y}",
+                )
+        if not is_sw:
+            np.testing.assert_array_equal(np.asarray(corner)[j], xc[j])
+
+
+def test_aligner_pallas_dirs_wiring(monkeypatch):
+    """align_batch through the Pallas dirs kernel (interpret) must produce
+    exactly the host-path alignments/hits."""
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+
+    rng = np.random.default_rng(11)
+    seqs_a = ["".join(rng.choice(list("acgt"), rng.integers(2, 14)))
+              for _ in range(4)]
+    seqs_b = ["".join(rng.choice(list("acgt"), rng.integers(2, 14)))
+              for _ in range(4)]
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "host")
+    want_nw = NeedlemanWunsch().align_batch(seqs_a, seqs_b)
+    want_sw = [list(h) for h in SmithWaterman().align_batch(seqs_a, seqs_b)]
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    got_nw = NeedlemanWunsch().align_batch(seqs_a, seqs_b)
+    got_sw = [list(h) for h in SmithWaterman().align_batch(seqs_a, seqs_b)]
+    assert got_nw == want_nw
+    assert got_sw == want_sw

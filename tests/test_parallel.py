@@ -47,3 +47,27 @@ def test_sharded_sw_best_scores_match():
     want = SmithWaterman(sc).best_score_batch([a for a, _ in pairs],
                                               [b for _, b in pairs])
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_align_batch_traceback_matches_host():
+    """Full-traceback fills over the mesh (ragged batch): alignments and SW
+    hit streams must equal the host reference path exactly."""
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.parallel.engine import sharded_align_batch
+
+    rng = np.random.default_rng(9)
+    pairs = _rand_pairs(11, rng)
+    sa = [a for a, _ in pairs]
+    sb = [b for _, b in pairs]
+    mesh = make_mesh(8)
+
+    sc = scoring_system_default()
+    got = sharded_align_batch(sc, sa, sb, is_sw=False, mesh=mesh)
+    want = [host_dp.nw_align(sc, a, b) for a, b in pairs]
+    assert got == want
+
+    sw = scoring_system_sw_default()
+    got_h = [list(h) for h in sharded_align_batch(sw, sa, sb, is_sw=True,
+                                                  mesh=mesh)]
+    want_h = [list(host_dp.HostSwHits(sw, a, b)) for a, b in pairs]
+    assert got_h == want_h
