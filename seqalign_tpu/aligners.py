@@ -320,10 +320,27 @@ class NeedlemanWunsch:
 
 
 class SmithWaterman:
-    """Local multi-hit aligner; ``align`` returns a stateful hit iterator."""
+    """Local multi-hit aligner; ``align`` returns a stateful hit iterator.
 
-    def __init__(self, scoring: Optional[ScoringConfig] = None):
+    ``ref_mask_compat`` (or env ``SEQALIGN_SW_REF_MASK=1``) opts into the
+    reference's buggy shared overlap mask across the pairs THIS instance
+    aligns — one instance == one reference ``sw_aligner_t``
+    (smith_waterman.c:149 quarter-reset; see traceback.SwRefMaskHistory).
+    Iterators must then be consumed in pair order, as the reference's
+    align/fetch loop does.
+    """
+
+    def __init__(self, scoring: Optional[ScoringConfig] = None,
+                 ref_mask_compat: Optional[bool] = None):
         self.scoring = scoring if scoring is not None else scoring_system_sw_default()
+        if ref_mask_compat is None:
+            ref_mask_compat = os.environ.get("SEQALIGN_SW_REF_MASK") == "1"
+        if ref_mask_compat:
+            from .ops.traceback import SwRefMaskHistory
+
+            self.history = SwRefMaskHistory()
+        else:
+            self.history = None
 
     def align(self, seq_a: str, seq_b: str):
         return self.align_batch([seq_a], [seq_b])[0]
@@ -331,7 +348,8 @@ class SmithWaterman:
     def align_batch(self, seqs_a, seqs_b) -> List:
         cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
         if _route(cells, len(seqs_a)) == "host":
-            return [host_dp.HostSwHits(self.scoring, a, b)
+            return [host_dp.HostSwHits(self.scoring, a, b,
+                                       history=self.history)
                     for a, b in zip(seqs_a, seqs_b)]
         return self._align_batch_device(seqs_a, seqs_b)
 
@@ -353,7 +371,7 @@ class SmithWaterman:
                 for j, i in enumerate(idx):
                     results[i] = SwHitIterator(
                         self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
-                        planes(j), mplanes(j),
+                        planes(j), mplanes(j), history=self.history,
                     )
                 continue
             out, na, nb = dp.fill_batch(
@@ -365,7 +383,7 @@ class SmithWaterman:
             for j, i in enumerate(idx):
                 results[i] = SwHitIterator(
                     self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
-                    dirs[j], mmat[j],
+                    dirs[j], mmat[j], history=self.history,
                 )
         return results
 
@@ -388,6 +406,7 @@ class SmithWaterman:
             self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
             ChunkedDirs([c[0] for c in dirs_chunks], chunk),
             ChunkedM([c[0] for c in m_chunks], chunk),
+            history=self.history,
         )
 
     def align_with_matrices(self, seq_a: str, seq_b: str):
@@ -396,7 +415,8 @@ class SmithWaterman:
             mats = host_dp.fill_matrices(self.scoring, seq_a, seq_b,
                                          is_sw=True)
             return host_dp.HostSwHits(self.scoring, seq_a, seq_b,
-                                      matrices=mats), mats
+                                      matrices=mats,
+                                      history=self.history), mats
         from .ops import dp
         from .ops.traceback import SwHitIterator
 
@@ -407,6 +427,7 @@ class SmithWaterman:
         hits = SwHitIterator(
             self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
             np.asarray(out.dirs)[0], np.asarray(out.mmat)[0],
+            history=self.history,
         )
         return hits, _deskew_all(self.scoring, out, int(na[0]), int(nb[0]),
                                  is_sw=True)
@@ -441,16 +462,25 @@ def _deskew_all(sc: ScoringConfig, out, na: int, nb: int, *, is_sw):
     return M, Ga, Gb
 
 
-def lcs_hits(seq: str, case_sensitive: bool = True):
+def lcs_hits(seq: str, case_sensitive: bool = True,
+             sw: Optional[SmithWaterman] = None):
     """Longest-common-substring enumeration of a sequence against itself:
     constrained SW per lcs_cmdline.c:39-64 (match 1 / mismatch -1 / open -4 /
-    extend -1, no gaps, no mismatches); yields only pos_a < pos_b hits."""
+    extend -1, no gaps, no mismatches); yields only pos_a < pos_b hits.
+    Pass ``sw`` (an ``lcs_aligner()``) to reuse one aligner across calls —
+    the reference lcs CLI aligns every input line with one sw_aligner_t."""
+    if sw is None:
+        sw = lcs_aligner(case_sensitive)
+    for hit in sw.align(seq, seq):
+        if hit.pos_a < hit.pos_b:
+            yield hit
+
+
+def lcs_aligner(case_sensitive: bool = True) -> SmithWaterman:
+    """The lcs CLI's constrained SW aligner (lcs_cmdline.c:39-64)."""
     sc = ScoringConfig(
         1, -1, -4, -1,
         no_gaps_in_a=True, no_gaps_in_b=True, no_mismatches=True,
         case_sensitive=case_sensitive,
     )
-    sw = SmithWaterman(sc)
-    for hit in sw.align(seq, seq):
-        if hit.pos_a < hit.pos_b:
-            yield hit
+    return SmithWaterman(sc)

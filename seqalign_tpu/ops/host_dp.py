@@ -161,13 +161,14 @@ class HostSwHits:
     shared reverse-move walker over the fast-filled matrices."""
 
     def __init__(self, sc: ScoringConfig, seq_a: str, seq_b: str,
-                 matrices=None):
+                 matrices=None, history=None):
         from . import oracle
 
         if matrices is None:
             matrices = fill_matrices(sc, seq_a, seq_b, is_sw=True)
         self.matrices = matrices
-        self._o = oracle.SwOracle(sc, seq_a, seq_b, matrices=matrices)
+        self._o = oracle.SwOracle(sc, seq_a, seq_b, matrices=matrices,
+                                  history=history)
 
     def fetch(self) -> Optional[Alignment]:
         h = self._o.fetch()

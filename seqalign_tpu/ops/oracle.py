@@ -180,7 +180,7 @@ class SwOracle:
     """smith_waterman_align + fetch (smith_waterman.c:131-277)."""
 
     def __init__(self, sc: ScoringConfig, seq_a: str, seq_b: str,
-                 matrices=None):
+                 matrices=None, history=None):
         self.sc = sc
         self.a, self.b = encode(seq_a), encode(seq_b)
         self.M, self.Ga, self.Gb = (
@@ -193,7 +193,10 @@ class SwOracle:
         # equal keys keep enumeration (pos asc) order (smith_waterman.c:71-86)
         order = np.lexsort((idx % w, -flat[idx].astype(np.int64)))
         self.sorted_indices = idx[order]
-        self.mask = np.zeros(flat.shape[0], dtype=bool)
+        # optional shared buggy-reset mask (traceback.SwRefMaskHistory)
+        self._history = history
+        self.mask = (np.zeros(flat.shape[0], dtype=bool)
+                     if history is None else None)
         self.next_hit = 0
 
     def _follow_hit(self, arr_index: int):
@@ -234,6 +237,8 @@ class SwOracle:
         }
 
     def fetch(self):
+        if self.mask is None:
+            self.mask = self._history.begin_pair(self.M.size)
         while self.next_hit < len(self.sorted_indices):
             arr_index = int(self.sorted_indices[self.next_hit])
             self.next_hit += 1

@@ -117,12 +117,59 @@ def nw_traceback(
     return Alignment(ra, rb, score, 0, 0, len(a), len(b))
 
 
+def _roundup2pow(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class SwRefMaskHistory:
+    """Opt-in bug-compatible emulation of the reference's shared
+    ``sw_history_t`` overlap mask (smith_waterman.c:20-59,95-108,149).
+
+    The reference allocates ONE bitset per sw aligner, reused across every
+    pair the process aligns: it grows to ``roundup2pow(arr_size)`` bits
+    (realloc zeroes only the new words, smith_waterman.c:37-45), and between
+    pairs ``memset(b, 0, (l+31)/32)`` clears (l+31)/32 *bytes* of the
+    uint32-word buffer — one quarter of the mask — so stale marks from
+    earlier pairs can suppress hits whose traceback walk touches a stale
+    flat index.  Our default semantics reset the mask fully per pair
+    (documented deviation, README); enabling this class (env
+    ``SEQALIGN_SW_REF_MASK=1`` or ``SmithWaterman(ref_mask_compat=True)``)
+    reproduces the reference bit-for-bit on multi-pair runs.
+
+    Iterators sharing one history must be consumed in pair order (the CLI
+    file loop does) — the reference interleaves align/fetch the same way.
+    """
+
+    def __init__(self):
+        self.capacity = 256  # _init_history, smith_waterman.c:88-94
+        self.bits = np.zeros(256, dtype=bool)
+
+    def begin_pair(self, arr_size: int) -> np.ndarray:
+        """smith_waterman_align2's mask lifecycle for one pair
+        (smith_waterman.c:95-108,149); returns the shared mask array."""
+        if arr_size > self.capacity:
+            cap = _roundup2pow(arr_size)
+            grown = np.zeros(cap, dtype=bool)
+            grown[: self.capacity] = self.bits  # realloc keeps old bits
+            self.bits, self.capacity = grown, cap
+        # memset((l+31)/32 bytes) clears bits [0, 8*((l+31)/32)) only
+        cleared = min(8 * ((self.capacity + 31) // 32), self.capacity)
+        self.bits[:cleared] = False
+        return self.bits
+
+
 class SwHitIterator:
     """Stateful best-first local-hit enumerator (smith_waterman.c:131-277).
 
     Built from one pair's device outputs: skewed M matrix + direction codes.
     ``fetch()`` mirrors smith_waterman_fetch, including overlap masking and
-    partial-walk abort semantics.
+    partial-walk abort semantics.  With ``history`` (a shared
+    :class:`SwRefMaskHistory`), the overlap mask is the reference's shared
+    buggy-reset bitset, bound lazily at the first fetch so sequential
+    consumption reproduces the reference's align/fetch interleaving.
     """
 
     def __init__(
@@ -134,6 +181,7 @@ class SwHitIterator:
         nb: int,
         dirs: np.ndarray,
         mmat: np.ndarray,
+        history: Optional[SwRefMaskHistory] = None,
     ):
         self.sc = sc
         self.a, self.b = encode(seq_a), encode(seq_b)
@@ -178,7 +226,13 @@ class SwHitIterator:
         else:
             self.cand = np.zeros(0, dtype=np.int64)
             self.cand_scores = np.zeros(0, dtype=np.int64)
-        self.mask = np.zeros((self.nb + 1) * w, dtype=bool)
+        self._history = history
+        if history is None:
+            self.mask: Optional[np.ndarray] = np.zeros(
+                (self.nb + 1) * w, dtype=bool
+            )
+        else:
+            self.mask = None  # bound at first fetch via begin_pair
         self.next_hit = 0
 
     def _m_at(self, y: int, x: int) -> int:
@@ -250,6 +304,8 @@ class SwHitIterator:
         )
 
     def fetch(self) -> Optional[Alignment]:
+        if self.mask is None:
+            self.mask = self._history.begin_pair((self.nb + 1) * self.w)
         while self.next_hit < len(self.cand):
             flat = int(self.cand[self.next_hit])
             self.next_hit += 1

@@ -29,4 +29,13 @@ SRCS="$REF/src/alignment.c $REF/src/alignment_scoring.c \
 gcc $CFLAGS -o "$OUT/needleman_wunsch" $SRCS "$REF/src/tools/nw_cmdline.c" -lz
 gcc $CFLAGS -o "$OUT/smith_waterman" $SRCS "$REF/src/tools/sw_cmdline.c" -lz
 gcc $CFLAGS -o "$OUT/lcs" $SRCS "$REF/src/tools/lcs_cmdline.c" -lz
-echo "built: $OUT/{needleman_wunsch,smith_waterman,lcs}"
+
+# Also build the UNPATCHED smith_waterman (the real reference binary, with
+# the quarter-mask-reset bug intact) — used by the strict bug-compat parity
+# test (tests/test_sw_mask_compat.py, SEQALIGN_SW_REF_MASK=1).
+SRCS_UNPATCHED="$REF/src/alignment.c $REF/src/alignment_scoring.c \
+      $REF/src/alignment_scoring_load.c $REF/src/alignment_cmdline.c \
+      $REF/src/needleman_wunsch.c $REF/src/smith_waterman.c"
+gcc $CFLAGS -o "$OUT/smith_waterman_unpatched" $SRCS_UNPATCHED \
+    "$REF/src/tools/sw_cmdline.c" -lz
+echo "built: $OUT/{needleman_wunsch,smith_waterman,smith_waterman_unpatched,lcs}"
