@@ -160,9 +160,23 @@ def print_usage(cmd_type, defaults, cmdstr, errfmt=None):
         "    character or whitespace. See files in the 'scores' directory"
         " for examples.\n"
         "\n"
-        "  turner.isaac@gmail.com  (seqalign_tpu)\n"
+        "  turner.isaac@gmail.com  (compiled: %s %s)\n" % _compile_stamp()
     )
     sys.exit(1)
+
+
+def _compile_stamp():
+    """The reference footer embeds __DATE__/__TIME__
+    (alignment_cmdline.c:165) — inherently build-varying, so byte parity is
+    format parity: emit the same '%s %s' shape using this package's install
+    mtime in the C preprocessor's formats ('Mmm dd yyyy', 'hh:mm:ss')."""
+    import os
+    import time
+
+    t = time.localtime(os.path.getmtime(os.path.abspath(__file__)))
+    # __DATE__ pads single-digit days with a space: "Aug  7 2026"
+    return (time.strftime("%b", t) + " " + "%2d" % t.tm_mday + " "
+            + time.strftime("%Y", t), time.strftime("%H:%M:%S", t))
 
 
 def _parse_int(s: str) -> Optional[int]:

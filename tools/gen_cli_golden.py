@@ -5,15 +5,21 @@ invocations.  Outputs committed under tests/golden/cli/ so the test suite
 runs without the reference toolchain.
 
 Each case: id, tool, args, stdin.  Stored: <id>.out (stdout), <id>.err
-(stderr), <id>.rc (exit code).  Lines containing 'compiled:' are stripped
-from stdout (build-date in usage text).
+(stderr), <id>.rc (exit code).  The usage footer's build timestamp
+('(compiled: __DATE__ __TIME__)', alignment_cmdline.c:165) is normalised to
+'(compiled: STAMP)' — the only inherently build-varying bytes; the rest of
+the footer line is compared exactly.
 """
 
 import gzip
 import json
 import os
+import re
 import subprocess
 import sys
+
+STAMP_RE = re.compile(
+    r"\(compiled: [A-Z][a-z]{2} [ \d]\d \d{4} \d\d:\d\d:\d\d\)")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFBIN = "/tmp/refbuild"
@@ -202,10 +208,8 @@ def main():
             capture_output=True,
         )
         stdout = proc.stdout.decode("latin-1")
-        stdout = "".join(
-            ln for ln in stdout.splitlines(keepends=True)
-            if "compiled:" not in ln
-        ).replace(REFBIN + "/", "")
+        stdout = STAMP_RE.sub("(compiled: STAMP)", stdout)
+        stdout = stdout.replace(REFBIN + "/", "")
         stderr = proc.stderr.decode("latin-1").replace(REFBIN + "/", "")
         with open(os.path.join(OUT, c["id"] + ".out"), "w") as fh:
             fh.write(stdout)
