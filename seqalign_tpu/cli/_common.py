@@ -8,8 +8,10 @@ identical validation rules and error messages, and the exact output helpers
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import logging
+import os
 import sys
 from typing import List, Optional, Tuple
 
@@ -170,7 +172,6 @@ def _compile_stamp():
     (alignment_cmdline.c:165) — inherently build-varying, so byte parity is
     format parity: emit the same '%s %s' shape using this package's install
     mtime in the C preprocessor's formats ('Mmm dd yyyy', 'hh:mm:ss')."""
-    import os
     import time
 
     t = time.localtime(os.path.getmtime(os.path.abspath(__file__)))
@@ -458,6 +459,90 @@ def _refresh_penalties(sc: ScoringConfig):
     sc.min_penalty = mn
     sc.max_penalty = mx
     sc._luts = None
+
+
+# ---------------------------------------------------------------------------
+# Observability + checkpoint/resume (SURVEY §5; extensions over the
+# reference, whose only instrumentation is the SEQ_ALIGN_VERBOSE printf,
+# alignment.c:9-10, and whose file loop has no restart support,
+# alignment_cmdline.c:578-640).  Both are env-gated so default CLI output
+# stays byte-identical to the reference.
+# ---------------------------------------------------------------------------
+
+
+def make_stats():
+    """``SEQALIGN_STATS=1``: return a live RunStats accumulator (pairs,
+    cells, GCUPS, pairs/s) or None when disabled."""
+    if os.environ.get("SEQALIGN_STATS") != "1":
+        return None
+    from ..utils.metrics import RunStats
+
+    return RunStats()
+
+
+def stats_timer(stats, lens_a, lens_b):
+    """Time one aligner call into ``stats``; no-op context when stats off."""
+    if stats is None:
+        return contextlib.nullcontext()
+    from ..utils.metrics import timed
+
+    return timed(stats, lens_a, lens_b)
+
+
+def stats_finish(stats):
+    """Print the run summary to stderr (never stdout — the Perl wrappers
+    screen-scrape stdout and stderr, keep the summary one greppable line)."""
+    if stats is not None:
+        sys.stderr.write("seqalign stats: %s\n" % stats.summary())
+        sys.stderr.flush()
+
+
+def trace_context():
+    """``SEQALIGN_TRACE_DIR=<dir>``: wrap the run in a jax.profiler trace
+    (xprof-compatible); no-op when unset."""
+    from ..utils.metrics import device_trace
+
+    return device_trace(os.environ.get("SEQALIGN_TRACE_DIR") or None)
+
+
+class ResumeState:
+    """Restartable batch runs over ``--file`` input streams.
+
+    ``SEQALIGN_SKIP_PAIRS=<n>`` skips the first n file pairs; with
+    ``SEQALIGN_RESUME_FILE=<path>`` the CLI additionally persists the count
+    of fully-emitted pairs after every pair/chunk (atomic rename), and a
+    later run with the same env resumes where the file says.  The offset
+    file, when present and non-empty, overrides SEQALIGN_SKIP_PAIRS.
+    Skipped pairs still count toward the reference's empty-input warning,
+    and the SW alignment index continues from the offset so resumed output
+    concatenates seamlessly.
+    """
+
+    def __init__(self):
+        self.path = os.environ.get("SEQALIGN_RESUME_FILE") or None
+        skip = int(os.environ.get("SEQALIGN_SKIP_PAIRS", "0") or "0")
+        if self.path and os.path.exists(self.path):
+            with open(self.path) as fh:
+                txt = fh.read().strip()
+            if txt:
+                skip = int(txt)
+        self.initial_skip = max(0, skip)
+        self._skip_remaining = self.initial_skip
+        self.completed = self.initial_skip
+
+    def should_skip(self) -> bool:
+        if self._skip_remaining > 0:
+            self._skip_remaining -= 1
+            return True
+        return False
+
+    def done(self, n: int):
+        self.completed += n
+        if self.path:
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write("%d\n" % self.completed)
+            os.replace(tmp, self.path)
 
 
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ from __future__ import annotations
 import sys
 
 from ..aligners import lcs_hits
+from ._common import make_stats, stats_finish, stats_timer
 
 
 def main(argv=None):
@@ -15,8 +16,12 @@ def main(argv=None):
         sys.stderr.write("%s [options] <sequence>\n" % argv[0])
         sys.stderr.write("  Print substrings in decreasing order of length\n")
         return 1
-    for hit in lcs_hits(argv[1], case_sensitive=True):
-        sys.stdout.write("%s [%i,%i]\n" % (hit.result_a, hit.pos_a, hit.pos_b))
+    stats = make_stats()
+    with stats_timer(stats, [len(argv[1])], [len(argv[1])]):
+        for hit in lcs_hits(argv[1], case_sensitive=True):
+            sys.stdout.write("%s [%i,%i]\n"
+                             % (hit.result_a, hit.pos_a, hit.pos_b))
+    stats_finish(stats)
     return 0
 
 

@@ -12,11 +12,16 @@ from ..io.seqio import align_from_file
 from ..scoring.presets import scoring_system_default
 from ._common import (
     NW_CMD,
+    ResumeState,
     alignment_spacer,
     colour_print_against,
     fold_eq,
+    make_stats,
     parse_args,
     print_matrices_str,
+    stats_finish,
+    stats_timer,
+    trace_context,
 )
 
 
@@ -26,6 +31,8 @@ def main(argv=None):
     cmd, sc = parse_args(argv, sc, NW_CMD)
     aligner = NeedlemanWunsch(sc)
     out = sys.stdout
+    stats = make_stats()
+    resume = ResumeState()
 
     def align_zam(seq_a, seq_b):
         # tools/nw_cmdline.c:36-76
@@ -51,15 +58,17 @@ def main(argv=None):
     def align(seq_a, seq_b, name_a=None, name_b=None):
         # tools/nw_cmdline.c:78-149
         if cmd.zam_stle_output:
-            align_zam(seq_a, seq_b)
+            with stats_timer(stats, [len(seq_a)], [len(seq_b)]):
+                align_zam(seq_a, seq_b)
             return
-        if cmd.print_matrices:
-            # one fill serves both the matrix dump and the traceback (the
-            # reference prints from live fill state, tools/nw_cmdline.c:107)
-            r, (M, Ga, Gb) = aligner.align_with_matrices(seq_a, seq_b)
-            out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
-        else:
-            r = aligner.align(seq_a, seq_b)
+        with stats_timer(stats, [len(seq_a)], [len(seq_b)]):
+            if cmd.print_matrices:
+                # one fill serves both the matrix dump and the traceback (the
+                # reference prints from live fill state, tools/nw_cmdline.c:107)
+                r, (M, Ga, Gb) = aligner.align_with_matrices(seq_a, seq_b)
+                out.write(print_matrices_str(M, Ga, Gb, seq_a, seq_b, sc))
+            else:
+                r = aligner.align(seq_a, seq_b)
         _print_alignment(r, name_a, name_b)
 
     def align_many(pairs):
@@ -70,8 +79,10 @@ def main(argv=None):
             for r1, r2 in pairs:
                 align(r1[1], r2[1], r1[0], r2[0])
             return
-        results = aligner.align_batch([r1[1] for r1, _ in pairs],
-                                      [r2[1] for _, r2 in pairs])
+        with stats_timer(stats, [len(r1[1]) for r1, _ in pairs],
+                         [len(r2[1]) for _, r2 in pairs]):
+            results = aligner.align_batch([r1[1] for r1, _ in pairs],
+                                          [r2[1] for _, r2 in pairs])
         for (r1, r2), r in zip(pairs, results):
             _print_alignment(r, r1[0], r2[0])
 
@@ -102,34 +113,44 @@ def main(argv=None):
         out.write("\n")
         out.flush()
 
-    if cmd.seq1 is not None:
-        align(cmd.seq1, cmd.seq2)
+    with trace_context():
+        if cmd.seq1 is not None:
+            align(cmd.seq1, cmd.seq2)
 
-    CHUNK = 256
-    for file1, file2 in cmd.file_pairs:
-        streaming = cmd.interactive or file1 in ("", "-")
-        if file1 == "" and file2 is None:
-            file1 = "-"
-        if streaming:
-            # stdin follows the immediate-response protocol the Perl wrapper
-            # depends on (NeedlemanWunsch.pm:182-211) — align pair by pair
-            align_from_file(
-                file1, file2,
-                lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
-                use_zlib=not cmd.interactive,
-            )
-        else:
-            buf = []
+        CHUNK = 256
+        for file1, file2 in cmd.file_pairs:
+            streaming = cmd.interactive or file1 in ("", "-")
+            if file1 == "" and file2 is None:
+                file1 = "-"
+            if streaming:
+                # stdin follows the immediate-response protocol the Perl
+                # wrapper depends on (NeedlemanWunsch.pm:182-211) — align
+                # pair by pair
+                def one(r1, r2):
+                    if resume.should_skip():
+                        return
+                    align(r1[1], r2[1], r1[0], r2[0])
+                    resume.done(1)
 
-            def collect(r1, r2, buf=buf):
-                buf.append((r1, r2))
-                if len(buf) >= CHUNK:
+                align_from_file(file1, file2, one,
+                                use_zlib=not cmd.interactive)
+            else:
+                buf = []
+
+                def collect(r1, r2, buf=buf):
+                    if resume.should_skip():
+                        return
+                    buf.append((r1, r2))
+                    if len(buf) >= CHUNK:
+                        align_many(buf)
+                        resume.done(len(buf))
+                        del buf[:]
+
+                align_from_file(file1, file2, collect, use_zlib=True)
+                if buf:
                     align_many(buf)
-                    del buf[:]
-
-            align_from_file(file1, file2, collect, use_zlib=True)
-            if buf:
-                align_many(buf)
+                    resume.done(len(buf))
+    stats_finish(stats)
     return 0
 
 

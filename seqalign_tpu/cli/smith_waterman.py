@@ -15,10 +15,15 @@ from ._common import (
     COL_CONTEXT,
     COL_STOP,
     SW_CMD,
+    ResumeState,
     alignment_spacer,
     colour_print_against,
+    make_stats,
     parse_args,
     print_matrices_str,
+    stats_finish,
+    stats_timer,
+    trace_context,
 )
 
 
@@ -29,7 +34,12 @@ def main(argv=None):
     sc = ScoringConfig(2, -2, -2, -1)
     cmd, sc = parse_args(argv, sc, SW_CMD)
     out = sys.stdout
-    state = {"alignment_index": 0, "wait_on_keystroke": False}
+    stats = make_stats()
+    resume = ResumeState()
+    # resumed runs continue the reference's global alignment counter so the
+    # concatenated output is identical to one uninterrupted run
+    state = {"alignment_index": resume.initial_skip,
+             "wait_on_keystroke": False}
 
     def get_next_hit():
         # interactive h/a prompt (tools/sw_cmdline.c:84-122)
@@ -101,11 +111,12 @@ def main(argv=None):
 
         mats = None
         if hits is None:
-            if cmd.print_matrices:
-                # one fill serves both the dump and the hit iterator
-                hits, mats = sw.align_with_matrices(seq_a, seq_b)
-            else:
-                hits = sw.align(seq_a, seq_b)
+            with stats_timer(stats, [len(seq_a)], [len(seq_b)]):
+                if cmd.print_matrices:
+                    # one fill serves both the dump and the hit iterator
+                    hits, mats = sw.align_with_matrices(seq_a, seq_b)
+                else:
+                    hits = sw.align(seq_a, seq_b)
         len_a, len_b = len(seq_a), len(seq_b)
 
         out.write("== Alignment %zu lengths (%lu, %lu):\n".replace(
@@ -193,41 +204,52 @@ def main(argv=None):
     def align_many(pairs):
         """One batched device fill per chunk of file pairs (the reference
         aligns serially, alignment_cmdline.c:611-622)."""
-        todo = [(r1, r2) for r1, r2 in pairs if r1[1] and r2[1]]
-        iters = sw.align_batch([r1[1] for r1, _ in todo],
-                               [r2[1] for _, r2 in todo]) if todo else []
-        by_pair = {id(p): it for p, it in zip(todo, iters)}
-        for pair in pairs:
-            r1, r2 = pair
-            align(r1[1], r2[1], r1[0], r2[0], hits=by_pair.get(id(pair)))
+        todo = [i for i, (r1, r2) in enumerate(pairs) if r1[1] and r2[1]]
+        with stats_timer(stats, [len(pairs[i][0][1]) for i in todo],
+                         [len(pairs[i][1][1]) for i in todo]):
+            iters = sw.align_batch([pairs[i][0][1] for i in todo],
+                                   [pairs[i][1][1] for i in todo]) \
+                if todo else []
+        by_pair = dict(zip(todo, iters))
+        for i, (r1, r2) in enumerate(pairs):
+            align(r1[1], r2[1], r1[0], r2[0], hits=by_pair.get(i))
 
-    if cmd.seq1 is not None:
-        align(cmd.seq1, cmd.seq2)
+    with trace_context():
+        if cmd.seq1 is not None:
+            align(cmd.seq1, cmd.seq2)
 
-    CHUNK = 256
-    for file1, file2 in cmd.file_pairs:
-        streaming = cmd.interactive or file1 in ("", "-")
-        if file1 == "" and file2 is None:
-            state["wait_on_keystroke"] = True
-            file1 = "-"
-        if streaming:
-            align_from_file(
-                file1, file2,
-                lambda r1, r2: align(r1[1], r2[1], r1[0], r2[0]),
-                use_zlib=not cmd.interactive,
-            )
-        else:
-            buf = []
+        CHUNK = 256
+        for file1, file2 in cmd.file_pairs:
+            streaming = cmd.interactive or file1 in ("", "-")
+            if file1 == "" and file2 is None:
+                state["wait_on_keystroke"] = True
+                file1 = "-"
+            if streaming:
+                def one(r1, r2):
+                    if resume.should_skip():
+                        return
+                    align(r1[1], r2[1], r1[0], r2[0])
+                    resume.done(1)
 
-            def collect(r1, r2, buf=buf):
-                buf.append((r1, r2))
-                if len(buf) >= CHUNK:
+                align_from_file(file1, file2, one,
+                                use_zlib=not cmd.interactive)
+            else:
+                buf = []
+
+                def collect(r1, r2, buf=buf):
+                    if resume.should_skip():
+                        return
+                    buf.append((r1, r2))
+                    if len(buf) >= CHUNK:
+                        align_many(buf)
+                        resume.done(len(buf))
+                        del buf[:]
+
+                align_from_file(file1, file2, collect, use_zlib=True)
+                if buf:
                     align_many(buf)
-                    del buf[:]
-
-            align_from_file(file1, file2, collect, use_zlib=True)
-            if buf:
-                align_many(buf)
+                    resume.done(len(buf))
+    stats_finish(stats)
     return 0
 
 
