@@ -342,26 +342,39 @@ class SmithWaterman:
         else:
             self.history = None
 
-    def align(self, seq_a: str, seq_b: str):
-        return self.align_batch([seq_a], [seq_b])[0]
+    def align(self, seq_a: str, seq_b: str, min_score: Optional[int] = None):
+        return self.align_batch(
+            [seq_a], [seq_b],
+            None if min_score is None else [min_score])[0]
 
-    def align_batch(self, seqs_a, seqs_b) -> List:
+    def align_batch(self, seqs_a, seqs_b,
+                    min_scores: Optional[Sequence[int]] = None) -> List:
+        """``min_scores`` (per pair) is an optimization HINT: hits below it
+        may be pruned from the stream (never walked, so best-first
+        consumption up to the threshold — the CLI loop,
+        sw_cmdline.c:204-216 — is byte-identical); hits >= it are exact.
+        On the device paths it enables on-device candidate extraction, so
+        the M matrix never transfers to host."""
         cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
         if _route(cells, len(seqs_a)) == "host":
             return [host_dp.HostSwHits(self.scoring, a, b,
                                        history=self.history)
                     for a, b in zip(seqs_a, seqs_b)]
-        return self._align_batch_device(seqs_a, seqs_b)
+        return self._align_batch_device(seqs_a, seqs_b, min_scores)
 
-    def _align_batch_device(self, seqs_a, seqs_b) -> List:
+    def _align_batch_device(self, seqs_a, seqs_b, min_scores=None) -> List:
         from .ops import dp
         from .ops.traceback import SwHitIterator
 
         results: List = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
+            mins = None if min_scores is None else [min_scores[i]
+                                                   for i in idx]
             if key is None:  # long pairs: chunked boundary-carry path
-                for i in idx:
-                    results[i] = self.align_long(seqs_a[i], seqs_b[i])
+                for j, i in enumerate(idx):
+                    results[i] = self.align_long(
+                        seqs_a[i], seqs_b[i],
+                        min_score=None if mins is None else mins[j])
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
@@ -372,6 +385,7 @@ class SmithWaterman:
                     results[i] = SwHitIterator(
                         self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
                         planes(j), mplanes(j), history=self.history,
+                        min_score=None if mins is None else mins[j],
                     )
                 continue
             out, na, nb = dp.fill_batch(
@@ -379,6 +393,17 @@ class SmithWaterman:
                 emit_m=True, pow2_pad=True,
             )
             dirs = np.asarray(out.dirs)
+            if mins is not None:
+                # device-side harvest: M stays on device, only (flat, score)
+                # candidate pairs land on host
+                cands = dp.sw_extract_candidates(
+                    out.mmat, na, nb, np.asarray(mins, np.int32))
+                for j, i in enumerate(idx):
+                    results[i] = SwHitIterator(
+                        self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
+                        dirs[j], history=self.history, candidates=cands[j],
+                    )
+                continue
             mmat = np.asarray(out.mmat)
             for j, i in enumerate(idx):
                 results[i] = SwHitIterator(
@@ -393,15 +418,25 @@ class SmithWaterman:
     def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
         return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=True)
 
-    def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048):
-        """Long-sequence local multi-hit alignment via the chunked fill."""
+    def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048,
+                   min_score: Optional[int] = None):
+        """Long-sequence local multi-hit alignment via the chunked fill.
+        With ``min_score``, the streaming mode: per-chunk on-device
+        candidate harvest, M slabs never materialized on host — memory is
+        O(dirs + candidates), bounded for giant pairs."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, ChunkedM, SwHitIterator
 
         _, _, dirs_chunks, m_chunks, na, nb = dp.fill_chunked(
             self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,
-            emit_dirs=True, emit_m=True,
+            emit_dirs=True, emit_m=True, extract_min=min_score,
         )
+        if min_score is not None:
+            return SwHitIterator(
+                self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
+                ChunkedDirs([c[0] for c in dirs_chunks], chunk),
+                history=self.history, candidates=m_chunks[0],
+            )
         return SwHitIterator(
             self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
             ChunkedDirs([c[0] for c in dirs_chunks], chunk),

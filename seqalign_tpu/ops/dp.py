@@ -561,6 +561,7 @@ def fill_chunked(
     emit_dirs: bool = True,
     emit_m: bool = False,
     validate: bool = True,
+    extract_min=None,
 ):
     """Long-sequence fill: chunk seq_a into ``chunk``-column slabs, carrying
     the (M, Ga, Gb) boundary column between slabs (SURVEY §5 long-context —
@@ -571,6 +572,12 @@ def fill_chunked(
     dirs_chunks / m_chunks are lists of per-chunk (B, D_c, LB+1) host arrays
     in local-diagonal layout (cell (y, x): chunk (x-1)//chunk, local
     x_l = x - c*chunk, row x_l + y - 2, lane y).
+
+    Streaming SW mode: with ``extract_min`` set (requires emit_m), M slabs
+    are never fetched — each chunk's hit candidates (M >= max(extract_min,1))
+    are harvested on device (``sw_extract_candidates``) and merged, and the
+    4th return value is instead a per-pair list of (flats, scores) arrays.
+    Host memory is then O(dirs + candidates), bounded for giant pairs.
     """
     if validate:
         for sa, sb in zip(seqs_a, seqs_b):
@@ -613,6 +620,7 @@ def fill_chunked(
     best = np.zeros((B,), np.int32)
     dirs_chunks = []
     m_chunks = []
+    cands = [([], []) for _ in range(B)] if extract_min is not None else None
     najj = jnp.asarray(na)
     nbjj = jnp.asarray(nb)
     subKj = jnp.asarray(subK)
@@ -630,13 +638,91 @@ def fill_chunked(
         if emit_dirs:
             dirs_chunks.append(np.asarray(out.dirs))
         if emit_m:
-            m_chunks.append(np.asarray(out.mmat))
+            if extract_min is not None:
+                for i, (fl, sv) in enumerate(sw_extract_candidates(
+                        out.mmat, na, nb, extract_min, x_off=int(x_off))):
+                    cands[i][0].append(fl)
+                    cands[i][1].append(sv)
+            else:
+                m_chunks.append(np.asarray(out.mmat))
         bM, bGa, bGb = (np.asarray(v) for v in out.bout)
         # merge corner from the owning chunk (where x = na falls)
         hit = (na > c * CA) & (na <= (c + 1) * CA)
         corner = np.where(hit[:, None], np.asarray(out.corner), corner)
         best = np.maximum(best, np.asarray(out.best))
+    if extract_min is not None:
+        m_chunks = [(np.concatenate(f), np.concatenate(s)) for f, s in cands]
     return corner, best, dirs_chunks, m_chunks, na, nb
+
+
+# ---------------------------------------------------------------------------
+# On-device SW candidate extraction (the device-side analog of the
+# reference's flat-index harvest + sort, smith_waterman.c:153-161).  The
+# full M matrix never leaves the device: a count pass sizes a static top_k
+# fetch, and only the candidate cells (score, flat-index) transfer to host,
+# where a tiny lexsort applies the exact reference ordering
+# (score desc, x asc, flat asc — sort_r stable contract).
+# ---------------------------------------------------------------------------
+
+
+def _sw_cand_geometry(mmat, na, nb, min_s, x_off):
+    """Shared mapping: skewed cell [b, r, lane] -> (y=lane, x=r+2-y+x_off);
+    valid interior cells with M >= max(min_s, 1)."""
+    i32 = jnp.int32
+    B, D, LBp = mmat.shape
+    LA = D - LBp + 2  # this slab's x extent (D = LA + LB - 1)
+    yv = jnp.arange(LBp, dtype=i32)[None, None, :]
+    rv = jnp.arange(D, dtype=i32)[None, :, None]
+    x_local = rv + 2 - yv
+    x = x_local + jnp.asarray(x_off, i32)
+    thr = jnp.maximum(min_s.astype(i32), 1)[:, None, None]
+    valid = (
+        (yv >= 1) & (yv <= nb.astype(i32)[:, None, None])
+        & (x_local >= 1) & (x_local <= LA)  # skew-pad slots hold garbage
+        & (x >= 1) & (x <= na.astype(i32)[:, None, None])
+        & (mmat >= thr)
+    )
+    flat = yv * (na.astype(i32)[:, None, None] + 1) + x
+    return valid, flat
+
+
+@jax.jit
+def _sw_cand_count(mmat, na, nb, min_s, x_off):
+    valid, _ = _sw_cand_geometry(mmat, na, nb, min_s, x_off)
+    return valid.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _sw_cand_topk(mmat, na, nb, min_s, x_off, k):
+    valid, flat = _sw_cand_geometry(mmat, na, nb, min_s, x_off)
+    B = mmat.shape[0]
+    key = jnp.where(valid, mmat, jnp.int32(-(2**31))).reshape(B, -1)
+    vals, idx = jax.lax.top_k(key, k)
+    flats = jnp.take_along_axis(flat.reshape(B, -1), idx, axis=1)
+    return vals, flats
+
+
+def sw_extract_candidates(mmat, na, nb, min_scores, x_off=0):
+    """Harvest SW hit candidates (cells with M >= max(min_score, 1)) from a
+    device-resident skewed M batch without fetching the matrix.
+
+    Returns a list of per-pair ``(flats, scores)`` int32 numpy arrays,
+    UNSORTED (the SwHitIterator applies the reference tie ordering).
+    ``min_scores`` broadcasts to (B,).  flat = y * (na+1) + x with global x
+    (pass ``x_off`` for chunked slabs).
+    """
+    B, D, LBp = mmat.shape
+    min_s = jnp.broadcast_to(jnp.asarray(min_scores, jnp.int32), (B,))
+    naj, nbj = jnp.asarray(na), jnp.asarray(nb)
+    counts = np.asarray(_sw_cand_count(mmat, naj, nbj, min_s, x_off))
+    kmax = int(counts.max(initial=0))
+    empty = np.zeros(0, np.int32)
+    if kmax == 0:
+        return [(empty, empty) for _ in range(B)]
+    k = min(D * LBp, _next_pow2(kmax))
+    vals, flats = _sw_cand_topk(mmat, naj, nbj, min_s, x_off, k=k)
+    vals, flats = np.asarray(vals), np.asarray(flats)
+    return [(flats[i, : counts[i]], vals[i, : counts[i]]) for i in range(B)]
 
 
 def deskew(skewed: np.ndarray, na: int, nb: int, fill=0) -> np.ndarray:

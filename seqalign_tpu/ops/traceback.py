@@ -180,8 +180,10 @@ class SwHitIterator:
         na: int,
         nb: int,
         dirs: np.ndarray,
-        mmat: np.ndarray,
+        mmat: Optional[np.ndarray] = None,
         history: Optional[SwRefMaskHistory] = None,
+        candidates: Optional[tuple] = None,
+        min_score: Optional[int] = None,
     ):
         self.sc = sc
         self.a, self.b = encode(seq_a), encode(seq_b)
@@ -191,15 +193,29 @@ class SwHitIterator:
         _, self.sub_lut, _, _ = sc.luts()
         w = self.na + 1
         self.w = w
+        # pruning threshold: candidates below it can never be emitted before
+        # the CLI's min-score break, so skipping them is output-invariant for
+        # best-first consumers (an optimization hint, not a semantic change
+        # for full-stream iteration — callers opting in know hits < min_score
+        # are dropped)
+        thr = 1 if min_score is None else max(1, int(min_score))
 
-        # Candidates: interior cells with M > 0, best-first.  The reference
-        # sorts flat indices with a stable qsort on (score desc, x asc)
-        # (smith_waterman.c:71-86,153-161); full ties keep flat-index order.
+        # Candidates: interior cells with M >= thr, best-first.  The
+        # reference sorts flat indices with a stable qsort on (score desc,
+        # x asc) (smith_waterman.c:71-86,153-161); full ties keep flat-index
+        # order.  ``candidates`` (device-extracted (flats, scores) from
+        # ``dp.sw_extract_candidates``) skips host enumeration — and then
+        # the M matrix itself is never needed on host: each walk's start
+        # score rides with its candidate.
         ys, xs, scores = [], [], []
-        if isinstance(mmat, np.ndarray):
+        if candidates is not None:
+            flat = candidates[0].astype(np.int64)
+            sc_ = candidates[1].astype(np.int64)
+            xc = flat % w
+        elif isinstance(mmat, np.ndarray):
             for y in range(1, self.nb + 1):
                 row = mmat[y - 1 : y - 1 + self.na, y]  # x = 1..na
-                pos = np.nonzero(row > 0)[0]
+                pos = np.nonzero(row >= thr)[0]
                 ys.append(np.full(len(pos), y, dtype=np.int64))
                 xs.append(pos + 1)
                 scores.append(row[pos].astype(np.int64))
@@ -211,15 +227,19 @@ class SwHitIterator:
                     break
                 for y in range(1, self.nb + 1):
                     row = arr[y - 1 : y - 1 + max_xl, y]  # local x = 1..
-                    pos = np.nonzero(row > 0)[0]
+                    pos = np.nonzero(row >= thr)[0]
                     ys.append(np.full(len(pos), y, dtype=np.int64))
                     xs.append(x_base + pos + 1)
                     scores.append(row[pos].astype(np.int64))
-        if ys:
-            yc = np.concatenate(ys)
-            xc = np.concatenate(xs)
-            sc_ = np.concatenate(scores)
-            flat = yc * w + xc
+        if candidates is None:
+            if ys:
+                yc = np.concatenate(ys)
+                xc = np.concatenate(xs)
+                sc_ = np.concatenate(scores)
+                flat = yc * w + xc
+            else:
+                flat = xc = sc_ = np.zeros(0, dtype=np.int64)
+        if len(flat):
             order = np.lexsort((flat, xc, -sc_))
             self.cand = flat[order]
             self.cand_scores = sc_[order]
@@ -234,13 +254,6 @@ class SwHitIterator:
         else:
             self.mask = None  # bound at first fetch via begin_pair
         self.next_hit = 0
-
-    def _m_at(self, y: int, x: int) -> int:
-        if y == 0 or x == 0:
-            return 0  # SW boundary (alignment.c:51-57 with min == 0)
-        if isinstance(self.mmat, np.ndarray):
-            return int(self.mmat[x + y - 2, y])
-        return self.mmat.at(y, x)
 
     def _penalty(self, curr: int, nxt: int, y: int, x: int) -> int:
         """Score drop for one reverse move (alignment.c:264-307)."""
@@ -257,11 +270,10 @@ class SwHitIterator:
             return 0
         return ge if nxt == GAP_B else gop
 
-    def _follow_hit(self, flat: int) -> Optional[Alignment]:
+    def _follow_hit(self, flat: int, end_score: int) -> Optional[Alignment]:
         w = self.w
         x, y = int(flat % w), int(flat // w)
         end_x, end_y = x, y
-        end_score = self._m_at(y, x)
         curr, cs = MATCH, end_score
         path = []
         while True:
@@ -308,9 +320,10 @@ class SwHitIterator:
             self.mask = self._history.begin_pair((self.nb + 1) * self.w)
         while self.next_hit < len(self.cand):
             flat = int(self.cand[self.next_hit])
+            score = int(self.cand_scores[self.next_hit])
             self.next_hit += 1
             if not self.mask[flat]:
-                hit = self._follow_hit(flat)
+                hit = self._follow_hit(flat, score)
                 if hit is not None:
                     return hit
         return None
