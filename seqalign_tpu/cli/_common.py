@@ -20,6 +20,36 @@ from typing import List, Optional, Tuple
 # corrupt the protocol.  Silence them for CLI entry points.
 logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
 
+# CLI robustness: on dev machines a sitecustomize hook registers a
+# single-holder TPU tunnel in EVERY python process and writes the platform
+# choice straight into the jax config (env vars alone cannot win), so a
+# plain `python -m seqalign_tpu.cli.*` dispatches big fills through the
+# tunnel — and a second concurrent CLI then wedges in futex-wait at the
+# result fetch.  The bin/ wrappers stop the hook before interpreter start;
+# for module invocations we can only override after the fact: pin jax to
+# CPU here unless the caller opts into an accelerator with
+# SEQALIGN_DEVICE=tpu (one process at a time may then use the tunnel).
+if not os.environ.get("SEQALIGN_DEVICE"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    if "jax" in sys.modules:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def arm_watchdog():
+    """``SEQALIGN_WATCHDOG=<seconds>``: abort with an all-thread traceback
+    dump if the CLI is still running past the deadline — turns a silent
+    device wedge into a diagnosable failure.  Returns a disarm callable."""
+    t = os.environ.get("SEQALIGN_WATCHDOG")
+    if not t:
+        return lambda: None
+    import faulthandler
+
+    faulthandler.dump_traceback_later(float(t), exit=True)
+    return faulthandler.cancel_dump_traceback_later
+
 # NOTE: do NOT enable jax_compilation_cache_dir here — it deadlocks this JAX
 # build under the CLI's multi-bucket compile pattern (all threads futex-wait).
 

@@ -13,6 +13,7 @@ from ..scoring.presets import scoring_system_default
 from ._common import (
     NW_CMD,
     ResumeState,
+    arm_watchdog,
     alignment_spacer,
     colour_print_against,
     fold_eq,
@@ -27,6 +28,7 @@ from ._common import (
 
 def main(argv=None):
     argv = list(sys.argv) if argv is None else list(argv)
+    disarm = arm_watchdog()
     sc = scoring_system_default()
     cmd, sc = parse_args(argv, sc, NW_CMD)
     aligner = NeedlemanWunsch(sc)
@@ -151,6 +153,7 @@ def main(argv=None):
                     align_many(buf)
                     resume.done(len(buf))
     stats_finish(stats)
+    disarm()
     return 0
 
 

@@ -16,6 +16,7 @@ from ._common import (
     COL_STOP,
     SW_CMD,
     ResumeState,
+    arm_watchdog,
     alignment_spacer,
     colour_print_against,
     make_stats,
@@ -29,6 +30,7 @@ from ._common import (
 
 def main(argv=None):
     argv = list(sys.argv) if argv is None else list(argv)
+    disarm = arm_watchdog()
     # SW defaults differ from the library default: match 2, mismatch -2,
     # gap_open -2, gap_extend -1 (tools/sw_cmdline.c:37-46)
     sc = ScoringConfig(2, -2, -2, -1)
@@ -90,6 +92,18 @@ def main(argv=None):
 
     sw = SmithWaterman(sc)
 
+    def prune_for(len_a, len_b):
+        """The run's min-score break threshold (tools/sw_cmdline.c:192-202),
+        passed to the aligner as a candidate-pruning hint so big fills
+        harvest candidates on device.  Disabled in interactive mode
+        (min_score 0) and in ref-mask-compat mode (sub-threshold walks must
+        still mark the shared mask exactly like the reference)."""
+        if sw.history is not None or state["wait_on_keystroke"]:
+            return None
+        if cmd.min_score_set:
+            return cmd.min_score
+        return int(sc.match * max(0.2 * min(len_a, len_b), 2))
+
     def align(seq_a, seq_b, name_a=None, name_b=None, hits=None):
         # tools/sw_cmdline.c:125-311
         if (name_a is not None or name_b is not None) and \
@@ -116,7 +130,9 @@ def main(argv=None):
                     # one fill serves both the dump and the hit iterator
                     hits, mats = sw.align_with_matrices(seq_a, seq_b)
                 else:
-                    hits = sw.align(seq_a, seq_b)
+                    hits = sw.align(seq_a, seq_b,
+                                    min_score=prune_for(len(seq_a),
+                                                        len(seq_b)))
         len_a, len_b = len(seq_a), len(seq_b)
 
         out.write("== Alignment %zu lengths (%lu, %lu):\n".replace(
@@ -205,10 +221,15 @@ def main(argv=None):
         """One batched device fill per chunk of file pairs (the reference
         aligns serially, alignment_cmdline.c:611-622)."""
         todo = [i for i, (r1, r2) in enumerate(pairs) if r1[1] and r2[1]]
+        mins = [prune_for(len(pairs[i][0][1]), len(pairs[i][1][1]))
+                for i in todo]
+        if any(m is None for m in mins):
+            mins = None
         with stats_timer(stats, [len(pairs[i][0][1]) for i in todo],
                          [len(pairs[i][1][1]) for i in todo]):
             iters = sw.align_batch([pairs[i][0][1] for i in todo],
-                                   [pairs[i][1][1] for i in todo]) \
+                                   [pairs[i][1][1] for i in todo],
+                                   min_scores=mins) \
                 if todo else []
         by_pair = dict(zip(todo, iters))
         for i, (r1, r2) in enumerate(pairs):
@@ -250,6 +271,7 @@ def main(argv=None):
                     align_many(buf)
                     resume.done(len(buf))
     stats_finish(stats)
+    disarm()
     return 0
 
 
