@@ -114,6 +114,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         floor = _pallas_pad_floor()
         la = max(floor, dp._next_pow2(a.shape[1]))
         lb = max(floor, dp._next_pow2(b.shape[1]))
+        if lb > 4096:  # beyond the measured kernel envelope: XLA fallback
+            use_pallas = False
+    if use_pallas:
         a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
         b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
         ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
@@ -141,15 +144,24 @@ def _pallas_bs(n_pairs: int, lbt: int) -> int:
     """Batch-chunk sublanes for the Pallas kernels: lane packing fits P
     pairs per vector row, so a full (bs, P*LBt) tile holds bs*P pairs —
     don't pad a small batch up to 128 sublanes' worth.  Power-of-two to
-    bound compile-shape count."""
+    bound compile-shape count.
+
+    For wide rows (LBt > TL, so LN = LBt lanes) the chunk shrinks to keep
+    the kernel's VMEM residency (6 scratch planes + the double-buffered
+    substitution block, ~LN*(24 + 2K) bytes per sublane) inside an ~8MB
+    budget — measured bit-exact on TPU v5e up to LBt=4096 (bs 32)."""
     from .ops import dp
     from .ops.pallas_dp import TL
 
     P = max(1, TL // lbt)
     if P > 1 and (lbt & (lbt - 1)) != 0:
         P = 1
+    LN = P * lbt
+    cap = min(128, (8 << 20) // (LN * 40))
+    while cap & (cap - 1):
+        cap &= cap - 1  # round down to a power of two
     need = -(-n_pairs // P)
-    return max(8, min(128, dp._next_pow2(need)))
+    return max(8, min(cap, dp._next_pow2(need)))
 
 
 def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):

@@ -472,7 +472,10 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
 
     ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
-    be a multiple of 128 and <= 512.  Returns (B,) int32.
+    be a multiple of 128.  Above TL=512 each row holds one pair across
+    LBt lanes; measured bit-exact on TPU v5e up to LBt=4096 with a
+    VMEM-scaled batch chunk (``bs`` 32 at 4096 — see aligners._pallas_bs).
+    Returns (B,) int32.
 
     ``use_f32`` runs the DP in float32 — bit-exact while every value stays
     under 2**24 in magnitude (f32 add/max on integers is exact there), with

@@ -66,6 +66,37 @@ def test_pallas_dtype_modes_match_xla(is_sw, use_f32, ss8):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_scores_wide_lbt():
+    """LBt beyond TL=512 (one pair spans the whole row) — bit-exact on real
+    TPU up to LBt=4096 (measured); interpret mode pins the wiring, and
+    aligners._pallas_bs must shrink the batch chunk to fit VMEM."""
+    from seqalign_tpu.aligners import _pallas_bs
+
+    sc = scoring_system_default()
+    args = _setup(sc, 2, 16, 1024, seed=9, is_sw=False)
+    got = np.asarray(
+        pallas_scores(*args, is_sw=False, interpret=True,
+                      bs=_pallas_bs(2, 1024))
+    )
+    ref = dp.dp_fill(
+        *args, is_sw=False, nsg=False, neg=False, nga=False, ngb=False,
+        nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    np.testing.assert_array_equal(got, np.asarray(jnp.max(ref.corner,
+                                                          axis=1)))
+
+
+def test_pallas_bs_vmem_cap():
+    from seqalign_tpu.aligners import _pallas_bs
+
+    assert _pallas_bs(256, 128) == 64   # P=4 packing: 64 sublanes hold 256
+    assert _pallas_bs(10_000, 512) == 128
+    assert _pallas_bs(10_000, 1024) == 128
+    assert _pallas_bs(10_000, 2048) == 64
+    assert _pallas_bs(10_000, 4096) == 32
+    assert _pallas_bs(1, 4096) == 8
+
+
 # ---------------------------------------------------------------------------
 # Direction-code kernel (pallas_fill_dirs): planes must be bit-identical to
 # the XLA dirs scan on every interior cell, and the aligner wiring must
