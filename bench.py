@@ -1,5 +1,7 @@
 """Headline benchmark: batched Needleman-Wunsch fill throughput in GCUPS
-(giga cell-updates per second) on one chip, via the Pallas wavefront kernel.
+(giga cell-updates per second) on one chip, via the Pallas wavefront kernel
+(in-kernel equality scoring — the library's default dispatch for
+match/mismatch configs, aligners._scores_auto).
 
 Timing methodology: the axon tunnel adds ~25ms fixed latency per fetched
 dispatch and `block_until_ready` does not truly block, so we run V
@@ -10,7 +12,10 @@ The reference publishes no numbers (BASELINE.md); its measured ad-hoc
 magnitude is ~0.1-1 GCUPS on one x86 core (-O2).  vs_baseline is computed
 against the midpoint estimate 0.5 GCUPS.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+A multi-shape sweep (scores + traceback dirs paths, pairs/s) goes to stderr
+and BENCH_SWEEP.json.
 """
 
 import json
@@ -25,70 +30,145 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_GCUPS = 0.5
 
 
-def main():
+def _fit(make_scan_fn, inputs_for, vs, reps=5):
+    import jax.numpy as jnp
+
+    res = {}
+    for V in vs:
+        fn = make_scan_fn(V)
+        xs = inputs_for(V)
+        np.asarray(fn(xs, jnp.int32(1)))  # compile + warm
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fn(xs, jnp.int32(i + 2)))
+            ts.append(time.perf_counter() - t0)
+        res[V] = float(np.median(ts))
+    return (res[vs[-1]] - res[vs[0]]) / (vs[-1] - vs[0])
+
+
+def _bench_shape(sc, B, L, *, kind, is_sw, vs):
+    """Per-fill seconds for one (B, L) config on the current backend.
+    kind: 'scores' | 'dirs'."""
     import jax
     import jax.numpy as jnp
 
     from seqalign_tpu.ops import dp
-    from seqalign_tpu.ops.pallas_dp import pallas_scores
-    from seqalign_tpu.scoring.presets import scoring_system_default
+    from seqalign_tpu.ops.pallas_dp import (
+        TL, f32_safe, pallas_fill_dirs, pallas_scores,
+    )
 
-    sc = scoring_system_default()
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
-    mn = np.int32(sc.dp_floor(False))
-
-    B, L = 256, 512
-    on_cpu = jax.default_backend() == "cpu"
-    if on_cpu:  # keep the CI/smoke path small
-        B, L = 32, 128
+    mn = np.int32(sc.dp_floor(is_sw))
     lut = np.frombuffer(b"acgt", dtype=np.uint8)
     rng = np.random.default_rng(0)
     bseq = lut[rng.integers(0, 4, (B, L))]
-    _, bc, subK, imK = dp.compact_inputs(sc, bseq, bseq)
+    _, _, subK, imK = dp.compact_inputs(sc, bseq, bseq)
+    inline = dp.mm_eligible(sc) and max(1, TL // L) == 1
     na = jnp.full((B,), L, jnp.int32)
     nb = jnp.full((B,), L, jnp.int32)
+    if inline:
+        _, bc = dp.compact_inputs_mm(sc, bseq, bseq)
+    else:
+        _, bc, _, _ = dp.compact_inputs(sc, bseq, bseq)
     bc, subK, imK = map(jnp.asarray, (bc, subK, imK))
+    f32 = f32_safe(sc, L, L)
 
     def inputs_for(V):
-        xs = np.stack([
-            dp.compact_inputs(
-                sc, lut[np.random.default_rng(1000 + i).integers(0, 4, (B, L))],
-                bseq,
-            )[0]
-            for i in range(V)
-        ])
-        return jax.block_until_ready(jnp.asarray(xs))
+        xs = []
+        for i in range(V):
+            aseq = lut[np.random.default_rng(1000 + i).integers(
+                0, 4, (B, L))]
+            if inline:
+                xs.append(dp.compact_inputs_mm(sc, aseq, bseq)[0])
+            else:
+                xs.append(dp.compact_inputs(sc, aseq, bseq)[0])
+        return jax.block_until_ready(jnp.asarray(np.stack(xs)))
 
     def make_many(V):
         @jax.jit
         def many(xs, salt):
             def body(carry, aa):
-                s = pallas_scores(aa, bc, na, nb, subK, imK, go, ge, mn,
-                                  is_sw=False)
-                return carry + s.sum() * salt, None
+                if kind == "scores":
+                    s = pallas_scores(
+                        aa, bc, na, nb, subK, imK, go, ge, mn, is_sw=is_sw,
+                        use_f32=f32, inline_mm=inline,
+                        match=np.int32(sc.match),
+                        mismatch=np.int32(sc.mismatch),
+                    )
+                    acc = s.sum()
+                else:
+                    d, m, corner = pallas_fill_dirs(
+                        aa, bc, na, nb, subK, go, ge, mn, is_sw=is_sw,
+                        emit_m=is_sw, use_f32=f32, inline_mm=inline,
+                        match=np.int32(sc.match),
+                        mismatch=np.int32(sc.mismatch),
+                    )
+                    acc = d.astype(jnp.int32).sum()
+                    if corner is not None:
+                        acc = acc + corner.sum()
+                return carry + acc * salt, None
             tot, _ = jax.lax.scan(body, jnp.int32(0), xs)
             return tot
         return many
 
-    res = {}
-    vs = (1, 4, 16) if not on_cpu else (1, 2)
-    for V in vs:
-        fn = make_many(V)
-        xs = inputs_for(V)
-        np.asarray(fn(xs, jnp.int32(1)))  # compile + warm
-        ts = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            np.asarray(fn(xs, jnp.int32(i + 2)))
-            ts.append(time.perf_counter() - t0)
-        res[V] = float(np.median(ts))
-    per_fill = (res[vs[-1]] - res[vs[0]]) / (vs[-1] - vs[0])
-    gcups = B * L * L / per_fill / 1e9
+    return _fit(make_many, inputs_for, vs)
+
+
+def main():
+    import jax
+
+    from seqalign_tpu.scoring.presets import (
+        scoring_system_default,
+        scoring_system_sw_default,
+    )
+
+    on_cpu = jax.default_backend() == "cpu"
+    nw = scoring_system_default()
+    sw = scoring_system_sw_default()
+
+    if on_cpu:  # CI/smoke: tiny, single shape, XLA path via scores
+        B, L = 32, 128
+        per = _bench_shape(nw, B, L, kind="scores", is_sw=False, vs=(1, 2))
+        gcups = B * L * L / per / 1e9
+        print(json.dumps({
+            "metric": "nw_fill_throughput", "value": round(gcups, 3),
+            "unit": "GCUPS", "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+        }))
+        return
+
+    sweep = []
+    configs = [
+        # (label, sc, B, L, kind, is_sw)
+        ("nw_scores_B256_L512", nw, 256, 512, "scores", False),
+        ("nw_scores_B64_L1024", nw, 64, 1024, "scores", False),
+        ("nw_scores_B256_L128", nw, 256, 128, "scores", False),  # P>1 planes
+        ("sw_scores_B256_L512", sw, 256, 512, "scores", True),
+        ("nw_dirs_B256_L512", nw, 256, 512, "dirs", False),
+        ("sw_dirs_B128_L512", sw, 128, 512, "dirs", True),
+    ]
+    headline = None
+    for label, sc, B, L, kind, is_sw in configs:
+        per = _bench_shape(sc, B, L, kind=kind, is_sw=is_sw, vs=(1, 4, 16))
+        gcups = B * L * L / per / 1e9
+        pairs_s = B / per
+        rec = {"label": label, "B": B, "L": L, "kind": kind,
+               "is_sw": is_sw, "per_fill_s": round(per, 6),
+               "gcups": round(gcups, 2), "pairs_per_s": round(pairs_s, 1)}
+        sweep.append(rec)
+        sys.stderr.write("bench sweep: %s\n" % json.dumps(rec))
+        if label == "nw_scores_B256_L512":
+            headline = gcups
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SWEEP.json"), "w") as fh:
+        json.dump(sweep, fh, indent=1)
+
     print(json.dumps({
         "metric": "nw_fill_throughput",
-        "value": round(gcups, 3),
+        "value": round(headline, 3),
         "unit": "GCUPS",
-        "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+        "vs_baseline": round(headline / BASELINE_GCUPS, 2),
     }))
 
 

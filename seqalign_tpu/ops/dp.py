@@ -481,6 +481,35 @@ def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
     return mapa[a_bytes], mapb[b_bytes], subK, imK
 
 
+def mm_eligible(sc: ScoringConfig) -> bool:
+    """True when scoring is pure match/mismatch on fold-equality — no
+    swaps, no wildcards (alignment_scoring.c:76-93 with
+    substitution_matrix == NULL).  Then code equality from
+    :func:`compact_inputs_mm` is exactly the match predicate, enabling the
+    in-kernel equality-scoring fast path."""
+    return bool(sc.use_match_mismatch and not sc._swap_set.any()
+                and not sc._wild_set.any())
+
+
+def compact_inputs_mm(sc: ScoringConfig, a_bytes: np.ndarray,
+                      b_bytes: np.ndarray):
+    """Shared-alphabet fold-canonical codes for the inline match/mismatch
+    kernel: both sequences map through ONE union alphabet of case-folded
+    bytes, so ``code_a == code_b`` <=> the pair scores ``match``.  (The
+    regular :func:`compact_inputs` compacts a and b independently — its
+    codes must never be compared across sequences.)  Only valid for
+    :func:`mm_eligible` configs."""
+    fold = sc.luts()[0]
+    fa = fold[a_bytes]
+    fb = fold[b_bytes]
+    u = np.unique(np.concatenate([fa.ravel(), fb.ravel()]))
+    if len(u) == 0:
+        u = np.array([0], np.uint8)
+    m = np.zeros(256, np.int32)
+    m[u] = np.arange(len(u), dtype=np.int32)
+    return m[fa], m[fb]
+
+
 def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):
     """Host-side equivalent of the reference's per-cell unknown-pair abort
     (alignment_scoring.c:179-181): the DP evaluates every (char_a, char_b)

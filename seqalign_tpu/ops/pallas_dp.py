@@ -92,9 +92,29 @@ def _shear_t(pt):
     return flat[:, : LB * stride].reshape(B, LB, stride)
 
 
-def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
-            h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref,
-            *, is_sw, BS, LBt, P, K, DK, dt, ss_i8):
+PADA, PADB = (1 << 20), (1 << 20) + 1  # inline-mm pad codes (never equal)
+
+
+def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
+    if inline_mm:
+        # Equality-scoring fast path: no substitution planes at all.  The
+        # sheared a-codes vector lives in VMEM and advances one lane per
+        # diagonal (a[d-1] enters at lane 0), and each diagonal's scores are
+        # ``a == b ? match : mismatch`` computed in registers — eliminating
+        # the prologue's profile matmul + diagonal shear + pack transposes
+        # AND the per-diagonal HBM plane stream (they were ~50% of wall
+        # time at B=256, L=512).  Covers use_match_mismatch scoring with no
+        # swaps/wildcards — the reference's ``substitution_matrix == NULL``
+        # hot case (alignment_scoring.c:76-93).
+        # aw_ref block (1, 1, BS, K+1): aw[:, j] = a[d0-2+j] — this grid
+        # step's entering a-codes (Mosaic cannot prove alignment of a
+        # dynamic lane slice into a full a-codes row, so the windows are
+        # pre-arranged host-side; K+1 lanes pad to one 128-lane tile)
+        (aw_ref, bl_ref, nabl_ref, drange_ref, scal_ref, out_ref,
+         h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref, av_ref) = refs
+    else:
+        (ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
+         h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref) = refs
     i32 = jnp.int32
     ib = pl.program_id(0)
     dk = pl.program_id(1)
@@ -125,6 +145,10 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
     @pl.when(dk == 0)
     def _init():
         zero = jnp.zeros((BS, LN), dt)
+        if inline_mm:
+            # av(d=2)[y0] = a[-y0]: lane 0 holds a[0], the rest pad
+            a0 = aw_ref[0, 0, :, 0:1]
+            av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
         if is_sw:
             h_ref[...] = zero
             hs_ref[...] = zero
@@ -165,17 +189,35 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
         )
         if is_sw:
             accv = accv_ref[...]
+        if inline_mm:
+            av = av_ref[...]
+            bl = bl_ref[0]
+            win = aw_ref[0, 0]  # (BS, K+1): win[:, j] = a[d0-2+j]
+            mt = scal_ref[3]
+            mm = scal_ref[4]
         h_news = []
         for k in range(K):
             d = d0 + k
-            ss = ss_ref[0, 0, k]
-            if ss_i8:
-                # int8 ss plane (4x less HBM): expand the pad marker to the
-                # real POISON only for SW (its best-score max is unmasked);
-                # NW never reads pad-lane values (see module docstring).
-                ss = ss.astype(dt)
+            if inline_mm:
+                ss = jnp.where(av == bl, mt, mm)
                 if is_sw:
-                    ss = jnp.where(ss == POISON8, jnp.asarray(POISON, dt), ss)
+                    # pads must stay hugely negative for the unmasked best
+                    ss = jnp.where((av >= PADA) | (bl >= PADA),
+                                   jnp.asarray(POISON, dt), ss)
+                # entering a[d-1] = a[d0-2 + (k+1)] = win[:, k+1]
+                av = jnp.concatenate([win[:, k + 1: k + 2], av[:, : LN - 1]],
+                                     axis=1)
+            else:
+                ss = ss_ref[0, 0, k]
+                if ss_i8:
+                    # int8 ss plane (4x less HBM): expand the pad marker to
+                    # the real POISON only for SW (its best-score max is
+                    # unmasked); NW never reads pad-lane values (see module
+                    # docstring).
+                    ss = ss.astype(dt)
+                    if is_sw:
+                        ss = jnp.where(ss == POISON8,
+                                       jnp.asarray(POISON, dt), ss)
             e_new = jnp.maximum(hs + gop, es + ge)
             f_new = jnp.maximum(h + gop, f + ge)
             if clamp:
@@ -216,6 +258,8 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
         es_ref[...] = es
         f_ref[...] = f
         hs2_ref[...] = hs2
+        if inline_mm:
+            av_ref[...] = av
         if is_sw:
             accv_ref[...] = accv
         else:
@@ -248,13 +292,25 @@ def _kernel(ss_ref, nabl_ref, drange_ref, scal_ref, out_ref,
         out_ref[0] = accv_ref[...]
 
 
-def _dirs_kernel(ss_ref, nabl_ref, drange_ref, scal_ref,
-                 dirs_ref, m_ref, corn_ref,
-                 sm_ref, sga_ref, sgb_ref,      # S(d): unshifted
-                 hm_ref, hga_ref, hgb_ref,      # SH(d): shifted
-                 h2m_ref, h2ga_ref, h2gb_ref,   # SH(d-1): shifted
-                 cm_ref, cga_ref, cgb_ref,      # NW corner accumulators
-                 *, is_sw, emit_m, BS, LBt, P, K, DK, dt):
+def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
+                 inline_mm=False):
+    if inline_mm:
+        # equality scoring computed in-kernel (see _kernel): aw_ref carries
+        # this block's entering a-codes, av_ref the rolling sheared codes
+        (aw_ref, bl_ref, nabl_ref, drange_ref, scal_ref,
+         dirs_ref, m_ref, corn_ref,
+         sm_ref, sga_ref, sgb_ref,      # S(d): unshifted
+         hm_ref, hga_ref, hgb_ref,      # SH(d): shifted
+         h2m_ref, h2ga_ref, h2gb_ref,   # SH(d-1): shifted
+         cm_ref, cga_ref, cgb_ref,      # NW corner accumulators
+         av_ref) = refs
+    else:
+        (ss_ref, nabl_ref, drange_ref, scal_ref,
+         dirs_ref, m_ref, corn_ref,
+         sm_ref, sga_ref, sgb_ref,
+         hm_ref, hga_ref, hgb_ref,
+         h2m_ref, h2ga_ref, h2gb_ref,
+         cm_ref, cga_ref, cgb_ref) = refs
     """Full three-matrix fill emitting packed 2-bit direction codes (and the
     M matrix for SW) — the Pallas replacement for the XLA dirs scan on the
     default-flags fast path.
@@ -298,6 +354,9 @@ def _dirs_kernel(ss_ref, nabl_ref, drange_ref, scal_ref,
     @pl.when(dk == 0)
     def _init():
         zero = jnp.zeros((BS, LN), dt)
+        if inline_mm:
+            a0 = aw_ref[0, 0, :, 0:1]
+            av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
         if is_sw:
             for r in (sm_ref, sga_ref, sgb_ref, hm_ref, hga_ref, hgb_ref,
                       h2m_ref, h2ga_ref, h2gb_ref):
@@ -344,11 +403,25 @@ def _dirs_kernel(ss_ref, nabl_ref, drange_ref, scal_ref,
             dlo = drange_ref[ib, 0]
             dhi = drange_ref[ib, 1]
             cap = (d0 <= dhi) & (d0 + K > dlo)
+        if inline_mm:
+            av = av_ref[...]
+            bl = bl_ref[0]
+            win = aw_ref[0, 0]  # (BS, K+1): win[:, j] = a[d0-2+j]
+            mt = scal_ref[3]
+            mm = scal_ref[4]
         for k in range(K):
             d = d0 + k
-            ss = ss_ref[0, 0, k]
-            if ss.dtype != dt:
-                ss = ss.astype(dt)
+            if inline_mm:
+                # pad cells never feed valid cells and pad plane bytes are
+                # never read (interior-only unpack), so plain mm scoring
+                # suffices — no poison select needed here
+                ss = jnp.where(av == bl, mt, mm)
+                av = jnp.concatenate([win[:, k + 1: k + 2],
+                                      av[:, : LN - 1]], axis=1)
+            else:
+                ss = ss_ref[0, 0, k]
+                if ss.dtype != dt:
+                    ss = ss.astype(dt)
             amax = jnp.maximum(jnp.maximum(m2s, ga2s), gb2s)
             m_arg = amax + ss
             Mv = jnp.maximum(m_arg, zero_dt) if is_sw else m_arg
@@ -414,6 +487,8 @@ def _dirs_kernel(ss_ref, nabl_ref, drange_ref, scal_ref,
         sm_ref[...], sga_ref[...], sgb_ref[...] = pm1, pga1, pgb1
         hm_ref[...], hga_ref[...], hgb_ref[...] = m1s, ga1s, gb1s
         h2m_ref[...], h2ga_ref[...], h2gb_ref[...] = m2s, ga2s, gb2s
+        if inline_mm:
+            av_ref[...] = av
         if not is_sw:
             cm_ref[...], cga_ref[...], cgb_ref[...] = cm, cga, cgb
 
@@ -463,12 +538,14 @@ def f32_safe(sc, LA, LB) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8"),
+    static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8",
+                     "inline_mm"),
 )
 def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   *, is_sw: bool, interpret: bool = False,
                   unroll: int = 8, bs: int = 128, use_f32: bool = True,
-                  ss8: bool = True):
+                  ss8: bool = True, inline_mm: bool = False,
+                  match=None, mismatch=None):
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
 
     ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
@@ -488,6 +565,12 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     HBM traffic + copy cost in the prologue, which dominated round 1 at
     ~65% of wall time).  Callers must guarantee max|subK| <= 127 (every
     shipped scoring matrix qualifies); -128 is reserved as the pad marker.
+
+    ``inline_mm`` (with ``match``/``mismatch``): equality scoring computed
+    inside the kernel from rolling a-codes — no profile matmul, no diagonal
+    shear, no plane stream (they were ~50% of wall time at B=256, L=512).
+    Caller contract: use_match_mismatch scoring with no swaps/wildcards
+    (compact-code equality == fold-equality) and P == 1 (LBt >= TL).
     """
     del imK  # scores-only path never needs the is-match table
     B, LA = ac.shape
@@ -496,6 +579,11 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     P = max(1, TL // LBt)
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1  # packing requires a power-of-two block (bitwise-and mod)
+    if inline_mm and P != 1:
+        # the rolling a-codes vector admits one pair per row; callers must
+        # gate on P == 1 themselves BECAUSE the code spaces differ: inline
+        # takes compact_inputs_mm codes, the plane path compact_inputs codes
+        raise ValueError("inline_mm requires P == 1 (LBt >= TL)")
     LN = P * LBt  # lanes per row (=TL unless LBt > TL)
     D = LA + LBt - 1
     K = unroll
@@ -515,25 +603,47 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     # Remap pad positions to dedicated poison codes so pad-region substitution
     # scores are hugely negative (see module docstring).
     Ka, Kb = subK.shape
-    ac = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None], ac, Ka
-    )
-    bc = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None], bc, Kb
-    )
-    if ss8:
-        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
-        sdt = jnp.int8
+    if inline_mm:
+        # no substitution planes at all: pad-coded sequences only
+        ac = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            ac, PADA,
+        )
+        bc = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+            bc, PADB,
+        )
+        # overlapping entering-code windows: aw[b, dk, j] = a[dk*K + j],
+        # j in [0, K] — two reshapes + a strided slice, no gathers
+        LAp = DK * K + K + 2
+        awin = jnp.pad(ac, ((0, 0), (0, LAp - LA)), constant_values=PADA)
+        main = awin[:, : DK * K].reshape(Bp, DK, K)
+        last = awin[:, K: DK * K + K: K].reshape(Bp, DK, 1)
+        aw = jnp.concatenate([main, last], axis=2)  # (Bp, DK, K+1)
+        aw = aw.reshape(nB, BS, DK, K + 1).transpose(0, 2, 1, 3)
+        bl = bc.reshape(nB, BS, LN)
     else:
-        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
-        sdt = dt
-    pt = _profile_t(ac, bc, subKp, sdt)  # (Bp, LBt, LA)
-    ss = _shear_t(pt)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
-    ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
-    # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s, block p
-    ss = ss.reshape(nB, BS, P, LBt, DK * K)
-    ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
-    ss = ss.reshape(nB, DK, K, BS, LN)
+        ac = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            ac, Ka,
+        )
+        bc = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+            bc, Kb,
+        )
+        if ss8:
+            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
+            sdt = jnp.int8
+        else:
+            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
+            sdt = dt
+        pt = _profile_t(ac, bc, subKp, sdt)  # (Bp, LBt, LA)
+        ss = _shear_t(pt)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
+        ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
+        # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s, block p
+        ss = ss.reshape(nB, BS, P, LBt, DK * K)
+        ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
+        ss = ss.reshape(nB, DK, K, BS, LN)
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
@@ -553,25 +663,42 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         mn_val = jnp.asarray(mn, dt)
     scal = jnp.array([gap_open, gap_extend, 0, 0, 0, 0, 0, 0],
                      dtype=dt).at[2].set(mn_val)
+    if inline_mm:
+        scal = scal.at[3].set(jnp.asarray(match, dt))
+        scal = scal.at[4].set(jnp.asarray(mismatch, dt))
 
     kernel = functools.partial(
         _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
-        ss_i8=ss8,
+        ss_i8=ss8, inline_mm=inline_mm,
     )
+    if inline_mm:
+        first_specs = [
+            pl.BlockSpec((1, 1, BS, K + 1), lambda i, d: (i, d, 0, 0)),
+            pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+        ]
+        first_args = (aw, bl)
+        scratch = [pltpu.VMEM((BS, LN), dt)] * 6 + [
+            pltpu.VMEM((BS, LN), jnp.int32)
+        ]
+    else:
+        first_specs = [
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        ]
+        first_args = (ss,)
+        scratch = [pltpu.VMEM((BS, LN), dt)] * 6
     out = pl.pallas_call(
         kernel,
         grid=(nB, DK),
-        in_specs=[
-            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        in_specs=first_specs + [
             pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nB, BS, LN), dt),
-        scratch_shapes=[pltpu.VMEM((BS, LN), dt)] * 6,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(ss, nabl, drange, scal)
+    )(*first_args, nabl, drange, scal)
     # reduce each pair's lane block to its score
     out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
     return out[:B].astype(jnp.int32)
@@ -580,12 +707,13 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "use_f32", "ss8"),
+                     "use_f32", "ss8", "inline_mm"),
 )
 def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      *, is_sw: bool, emit_m: bool, interpret: bool = False,
                      unroll: int = 8, bs: int = 128, use_f32: bool = True,
-                     ss8: bool = True):
+                     ss8: bool = True, inline_mm: bool = False,
+                     match=None, mismatch=None):
     """Batched full fill with packed direction codes on TPU via Pallas —
     the fast path behind ``dp.fill_batch(emit_dirs=True)`` for default
     scoring flags (other modes use the XLA scan).
@@ -607,6 +735,8 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     K = unroll
     DK = -(-D // K)
 
+    if inline_mm and P != 1:
+        raise ValueError("inline_mm requires P == 1 (LBt >= TL)")
     BS = min(bs, 128)
     Bp = -(-B // (BS * P)) * (BS * P)
     if Bp != B:
@@ -618,26 +748,46 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     nB = Bp // (BS * P)
 
     Ka, Kb = subK.shape
-    ac = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None], ac, Ka
-    )
-    bc = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None], bc, Kb
-    )
-    # pads never feed cells a traceback can visit, so the pad substitution
-    # value is immaterial here; keep the same markers as pallas_scores
-    if ss8:
-        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
-        sdt = jnp.int8
+    if inline_mm:
+        ac = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            ac, PADA,
+        )
+        bc = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+            bc, PADB,
+        )
+        LAp = DK * K + K + 2
+        awin = jnp.pad(ac, ((0, 0), (0, LAp - LA)), constant_values=PADA)
+        main = awin[:, : DK * K].reshape(Bp, DK, K)
+        last = awin[:, K: DK * K + K: K].reshape(Bp, DK, 1)
+        aw = jnp.concatenate([main, last], axis=2)
+        aw = aw.reshape(nB, BS, DK, K + 1).transpose(0, 2, 1, 3)
+        bl = bc.reshape(nB, BS, LN)
     else:
-        subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
-        sdt = dt
-    pt = _profile_t(ac, bc, subKp, sdt)
-    ss = _shear_t(pt)[:, :, :D]
-    ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
-    ss = ss.reshape(nB, BS, P, LBt, DK * K)
-    ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
-    ss = ss.reshape(nB, DK, K, BS, LN)
+        ac = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            ac, Ka,
+        )
+        bc = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+            bc, Kb,
+        )
+        # pads never feed cells a traceback can visit, so the pad
+        # substitution value is immaterial here; keep the same markers as
+        # pallas_scores
+        if ss8:
+            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
+            sdt = jnp.int8
+        else:
+            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
+            sdt = dt
+        pt = _profile_t(ac, bc, subKp, sdt)
+        ss = _shear_t(pt)[:, :, :D]
+        ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
+        ss = ss.reshape(nB, BS, P, LBt, DK * K)
+        ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
+        ss = ss.reshape(nB, DK, K, BS, LN)
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
@@ -656,19 +806,36 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
         mn_val = jnp.asarray(mn, dt)
     scal = jnp.array([gap_open, gap_extend, 0, 0, 0, 0, 0, 0],
                      dtype=dt).at[2].set(mn_val)
+    if inline_mm:
+        scal = scal.at[3].set(jnp.asarray(match, dt))
+        scal = scal.at[4].set(jnp.asarray(mismatch, dt))
 
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
-        DK=DK, dt=dt,
+        DK=DK, dt=dt, inline_mm=inline_mm,
     )
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
     mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m
             else (lambda i, d: (0, 0, 0, 0, 0)))
+    if inline_mm:
+        first_specs = [
+            pl.BlockSpec((1, 1, BS, K + 1), lambda i, d: (i, d, 0, 0)),
+            pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+        ]
+        first_args = (aw, bl)
+        scratch = [pltpu.VMEM((BS, LN), dt)] * 12 + [
+            pltpu.VMEM((BS, LN), jnp.int32)
+        ]
+    else:
+        first_specs = [
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        ]
+        first_args = (ss,)
+        scratch = [pltpu.VMEM((BS, LN), dt)] * 12
     dirs, m, corn = pl.pallas_call(
         kernel,
         grid=(nB, DK),
-        in_specs=[
-            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        in_specs=first_specs + [
             pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -684,9 +851,9 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
             jax.ShapeDtypeStruct(mshape, jnp.int32),
             jax.ShapeDtypeStruct((nB, 3, BS, LN), dt),
         ),
-        scratch_shapes=[pltpu.VMEM((BS, LN), dt)] * 12,
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(ss, nabl, drange, scal)
+    )(*first_args, nabl, drange, scal)
     dirs = dirs.reshape(nB, DK * K, BS, LN)
     m_out = m.reshape(nB, DK * K, BS, LN) if emit_m else None
     corner = None

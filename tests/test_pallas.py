@@ -66,6 +66,137 @@ def test_pallas_dtype_modes_match_xla(is_sw, use_f32, ss8):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_scores_inline_mm(is_sw):
+    """In-kernel equality scoring must equal the substitution-plane path —
+    exercised with MIXED CASE and different a/b alphabets, the cases where
+    per-sequence compact codes would give wrong equality."""
+    sc = scoring_system_sw_default() if is_sw else scoring_system_default()
+    rng = np.random.default_rng(5 + is_sw)
+    B, LA, LB = 4, 200, 512
+    luta = np.frombuffer(b"acgGA", dtype=np.uint8)
+    lutb = np.frombuffer(b"gtTAc", dtype=np.uint8)
+    a = luta[rng.integers(0, 5, (B, LA))]
+    b = lutb[rng.integers(0, 5, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    acm, bcm = dp.compact_inputs_mm(sc, a, b)
+    go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(is_sw))
+    got = np.asarray(pallas_scores(
+        jnp.asarray(acm), jnp.asarray(bcm), jnp.asarray(na),
+        jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK), go, ge, mn,
+        is_sw=is_sw, interpret=True, inline_mm=True,
+        match=sc.match, mismatch=sc.mismatch,
+    ))
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn,
+        is_sw=is_sw, nsg=False, neg=False, nga=False, ngb=False,
+        nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_inline_mm_asymmetric_alphabets_and_case():
+    """The regular compact codes are per-sequence alphabets — comparing
+    them across sequences is wrong whenever a and b contain different
+    character sets or mixed case.  compact_inputs_mm must produce shared
+    fold-canonical codes where equality == the match predicate."""
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    # case-insensitive scoring, disjoint-ish alphabets, mixed case
+    sc = ScoringConfig(2, -3, -4, -1)
+    assert dp.mm_eligible(sc)
+    seqs_a = ["ACacGG", "ttAC"]
+    seqs_b = ["ggtACA", "CAtt"]
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    acm, bcm = dp.compact_inputs_mm(sc, a, b)
+    fold = sc.luts()[0]
+    for i in range(2):
+        for x in range(len(seqs_a[i])):
+            for y in range(len(seqs_b[i])):
+                same_code = acm[i, x] == bcm[i, y]
+                is_match = fold[a[i, x]] == fold[b[i, y]]
+                assert bool(same_code) == bool(is_match)
+    # and a case-SENSITIVE config folds differently
+    scs = ScoringConfig(2, -3, -4, -1, case_sensitive=True)
+    acs, bcs = dp.compact_inputs_mm(scs, a, b)
+    assert acs[0, 0] == acs[0, 2] or a[0, 0] != a[0, 2]  # 'A' vs 'a' distinct
+    assert (acs[0, 0] != acs[0, 2]) == (chr(a[0, 0]) != chr(a[0, 2]))
+
+
+def test_mm_eligible_gates():
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    assert dp.mm_eligible(ScoringConfig(1, -2, -4, -1))
+    wc = ScoringConfig(1, -2, -4, -1).add_wildcard("N", 0)
+    assert not dp.mm_eligible(wc)
+    sw = ScoringConfig(1, -2, -4, -1).add_mutation("a", "c", 3)
+    assert not dp.mm_eligible(sw)
+    from seqalign_tpu.scoring.presets import scoring_system_BLOSUM62
+
+    assert not dp.mm_eligible(scoring_system_BLOSUM62())
+
+
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_dirs_inline_mm(is_sw):
+    """Dirs kernel inline equality scoring: interior planes bit-identical
+    to the XLA scan, with mixed-case ragged inputs."""
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    sc = ScoringConfig(2, -2, -2, -1) if is_sw else scoring_system_default()
+    rng = np.random.default_rng(31 + is_sw)
+    B, LA, LB = 3, 24, 512
+    lut = np.frombuffer(b"acgtACGT", dtype=np.uint8)
+    a = lut[rng.integers(0, 8, (B, LA))]
+    b = lut[rng.integers(0, 8, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    acm, bcm = dp.compact_inputs_mm(sc, a, b)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    mn = np.int32(sc.dp_floor(is_sw))
+    dirs, m, corner = pallas_fill_dirs(
+        jnp.asarray(acm), jnp.asarray(bcm), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        mn, is_sw=is_sw, emit_m=is_sw, use_f32=True, interpret=True,
+        bs=8, unroll=4, inline_mm=True, match=sc.match, mismatch=sc.mismatch,
+    )
+    geo = pack_geometry(LA, LB, bs=8)
+    assert geo["P"] == 1
+    dirs_np = np.asarray(dirs)
+    m_np = np.asarray(m) if m is not None else None
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), np.int32(sc.gap_open),
+        np.int32(sc.gap_extend), mn, is_sw=is_sw, nsg=False, neg=False,
+        nga=False, ngb=False, nmm=False, emit_dirs=True, emit_m=is_sw,
+        emit_gab=False,
+    )
+    xd = np.asarray(ref.dirs)
+    xm = np.asarray(ref.mmat) if is_sw else None
+    xc = np.asarray(ref.corner)
+    for j in range(B):
+        pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB, geo["D"])
+        naj, nbj = int(na[j]), int(nb[j])
+        for y in range(1, nbj + 1):
+            r0 = y - 1
+            np.testing.assert_array_equal(
+                pd[r0:r0 + naj, y], xd[j][r0:r0 + naj, y],
+                err_msg=f"dirs pair {j} y={y}")
+            if is_sw:
+                pm = unpack_pair_plane(m_np, j, geo["BS"], geo["P"], LB,
+                                       geo["D"])
+                np.testing.assert_array_equal(
+                    pm[r0:r0 + naj, y], xm[j][r0:r0 + naj, y],
+                    err_msg=f"M pair {j} y={y}")
+        if not is_sw:
+            np.testing.assert_array_equal(np.asarray(corner)[j], xc[j])
+
+
 def test_pallas_scores_wide_lbt():
     """LBt beyond TL=512 (one pair spans the whole row) — bit-exact on real
     TPU up to LBt=4096 (measured); interpret mode pins the wiring, and

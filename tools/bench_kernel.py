@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=8)
     ap.add_argument("--bs", type=int, default=128)
     ap.add_argument("--xla", action="store_true", help="bench the XLA path")
+    ap.add_argument("--inline", action="store_true",
+                    help="in-kernel match/mismatch scoring (requires P==1)")
     args = ap.parse_args()
 
     import jax
@@ -79,14 +81,19 @@ def main():
     nb = np.full((B,), LB, np.int32)
     bc, subK, imK, na_d, nb_d = map(jnp.asarray, (bc, subK, imK, na, nb))
 
+    if args.inline:
+        _, bc_mm = dp.compact_inputs_mm(sc, bseq, bseq)
+        bc = jnp.asarray(bc_mm)
+
     def inputs_for(V):
         import jax
 
+        ci = dp.compact_inputs_mm if args.inline else (
+            lambda s, x, y: dp.compact_inputs(s, x, y)[:2])
         xs = np.stack([
-            dp.compact_inputs(
-                sc, lut[np.random.default_rng(1000 + i).integers(0, 4, (B, L))],
-                bseq,
-            )[0]
+            ci(sc,
+               lut[np.random.default_rng(1000 + i).integers(0, 4, (B, L))],
+               bseq)[0]
             for i in range(V)
         ])
         return jax.block_until_ready(jnp.asarray(xs))
@@ -107,7 +114,9 @@ def main():
                     s = pallas_scores(
                         aa, bc, na_d, nb_d, subK, imK, go, ge, mn,
                         is_sw=args.sw, unroll=args.unroll, bs=args.bs,
-                        use_f32=not args.i32,
+                        use_f32=not args.i32, inline_mm=args.inline,
+                        match=np.int32(sc.match),
+                        mismatch=np.int32(sc.mismatch),
                     )
                 return carry + s.sum() * salt, None
             tot, _ = jax.lax.scan(body, jnp.int32(0), xs)
