@@ -117,14 +117,12 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         if lb > 4096:  # beyond the measured kernel envelope: XLA fallback
             use_pallas = False
     if use_pallas:
-        from .ops.pallas_dp import TL
-
         a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
         b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
         ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
         # equality-scoring fast path: shared fold-canonical codes computed
-        # in-kernel (no substitution planes; ~5x at B=256, L=512)
-        inline = dp.mm_eligible(sc) and max(1, TL // lb) == 1
+        # in-kernel (no substitution planes; 5-10x measured)
+        inline = dp.mm_eligible(sc)
         if inline:
             ac, bc = dp.compact_inputs_mm(sc, a, b)
         out = pallas_scores(
@@ -196,13 +194,11 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         f32_safe, pack_geometry, pallas_fill_dirs, unpack_pair_plane,
     )
 
-    from .ops.pallas_dp import TL
-
     a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
     b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     del imK
-    inline = dp.mm_eligible(sc) and max(1, TL // lb) == 1
+    inline = dp.mm_eligible(sc)
     if inline:  # in-kernel equality scoring (shared fold-canonical codes)
         ac, bc = dp.compact_inputs_mm(sc, a, b)
     bs = _pallas_bs(len(seqs_a), lb)
@@ -216,16 +212,18 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         bs=bs, inline_mm=inline, match=np.int32(sc.match),
         mismatch=np.int32(sc.mismatch),
     )
-    geo = pack_geometry(la, lb, bs=bs)
+    geo = pack_geometry(la, lb, bs=bs, inline=inline)
     dirs_np = np.asarray(dirs)
     m_np = np.asarray(m) if m is not None else None
     corner_np = np.asarray(corner) if corner is not None else None
 
     def planes(j, _arr=dirs_np):
-        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"])
+        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
+                                 ilv=geo["ILV"])
 
     def mplanes(j, _arr=m_np):
-        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"])
+        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
+                                 ilv=geo["ILV"])
 
     return planes, (mplanes if m_np is not None else None), corner_np, na, \
         nb, geo

@@ -125,20 +125,29 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
     gop = go + ge
 
     LN = P * LBt  # lanes per row
-    # per-lane local y0 (position within the pair's lane block).  LBt is a
-    # power of two when P > 1, so the mod is a bitwise and.  (Computed from
-    # a plain iota: reshape tricks constant-fold into captured constants,
-    # which pallas_call cannot lower.)
-    y0 = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
-    if P > 1:
-        y0 = y0 & (LBt - 1)
-    bstart = y0 == 0  # first lane of each pair block
+    # Lane layouts.  Plane path (block): pair p owns contiguous lanes
+    # [p*LBt, (p+1)*LBt), y0 = lane & (LBt-1) — shifted vectors need a
+    # cross-pair refill at every block boundary.  Inline path with P > 1
+    # (interleaved): lane l holds pair l % P at y0 = l // P — the
+    # per-diagonal shift becomes a P-lane shift whose entering (BS, P)
+    # block is the per-pair fill/a-codes, with NO cross-pair leakage (lane
+    # l reads l-P, the same pair) and no boundary selects.
+    ilv = inline_mm and P > 1
+    lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    if ilv:
+        y0 = lane // P
+    elif P > 1:
+        y0 = lane & (LBt - 1)
+    else:
+        y0 = lane
+    bstart = y0 == 0  # first lane(s) of each pair
+    SH = P if ilv else 1  # lanes per shift step
 
     def shift(v, fillv):
-        """Lane shift by one with every block-boundary lane set to fillv."""
-        s = jnp.concatenate([jnp.full((BS, 1), fillv, dt), v[:, : LN - 1]],
-                            axis=1)
-        if P > 1:
+        """Advance y by one: lane shift by SH with entering lanes = fillv."""
+        s = jnp.concatenate([jnp.full((BS, SH), fillv, dt),
+                             v[:, : LN - SH]], axis=1)
+        if P > 1 and not ilv:
             s = jnp.where(bstart, fillv, s)
         return s
 
@@ -146,9 +155,13 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
     def _init():
         zero = jnp.zeros((BS, LN), dt)
         if inline_mm:
-            # av(d=2)[y0] = a[-y0]: lane 0 holds a[0], the rest pad
-            a0 = aw_ref[0, 0, :, 0:1]
-            av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
+            # av(d=2)[y0] = a[-y0]: y0 == 0 lanes hold each pair's a[0]
+            a0 = aw_ref[0, 0, :, 0:SH]
+            if ilv:
+                pad = jnp.full((BS, LN - SH), PADA, jnp.int32)
+                av_ref[...] = jnp.concatenate([a0, pad], axis=1)
+            else:
+                av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
         if is_sw:
             h_ref[...] = zero
             hs_ref[...] = zero
@@ -192,7 +205,8 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
         if inline_mm:
             av = av_ref[...]
             bl = bl_ref[0]
-            win = aw_ref[0, 0]  # (BS, K+1): win[:, j] = a[d0-2+j]
+            # (BS, (K+1)*SH): win[:, j*SH:(j+1)*SH] = per-pair a[d0-2+j]
+            win = aw_ref[0, 0]
             mt = scal_ref[3]
             mm = scal_ref[4]
         h_news = []
@@ -204,9 +218,10 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
                     # pads must stay hugely negative for the unmasked best
                     ss = jnp.where((av >= PADA) | (bl >= PADA),
                                    jnp.asarray(POISON, dt), ss)
-                # entering a[d-1] = a[d0-2 + (k+1)] = win[:, k+1]
-                av = jnp.concatenate([win[:, k + 1: k + 2], av[:, : LN - 1]],
-                                     axis=1)
+                # entering a[d-1] = per-pair win slice j = k+1
+                av = jnp.concatenate(
+                    [win[:, (k + 1) * SH: (k + 2) * SH], av[:, : LN - SH]],
+                    axis=1)
             else:
                 ss = ss_ref[0, 0, k]
                 if ss_i8:
@@ -333,15 +348,23 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     gop = go + ge
 
     LN = P * LBt
-    y0 = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
-    if P > 1:
-        y0 = y0 & (LBt - 1)
+    # lane layouts: see _kernel — block for the plane path, interleaved
+    # (lane l = pair l % P, y0 = l // P) for inline with P > 1
+    ilv = inline_mm and P > 1
+    lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    if ilv:
+        y0 = lane // P
+    elif P > 1:
+        y0 = lane & (LBt - 1)
+    else:
+        y0 = lane
     bstart = y0 == 0
+    SH = P if ilv else 1
 
     def shift(v, fillv):
-        s = jnp.concatenate([jnp.full((BS, 1), fillv, dt), v[:, : LN - 1]],
-                            axis=1)
-        if P > 1:
+        s = jnp.concatenate([jnp.full((BS, SH), fillv, dt),
+                             v[:, : LN - SH]], axis=1)
+        if P > 1 and not ilv:
             s = jnp.where(bstart, fillv, s)
         return s
 
@@ -355,8 +378,12 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     def _init():
         zero = jnp.zeros((BS, LN), dt)
         if inline_mm:
-            a0 = aw_ref[0, 0, :, 0:1]
-            av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
+            a0 = aw_ref[0, 0, :, 0:SH]
+            if ilv:
+                pad = jnp.full((BS, LN - SH), PADA, jnp.int32)
+                av_ref[...] = jnp.concatenate([a0, pad], axis=1)
+            else:
+                av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
         if is_sw:
             for r in (sm_ref, sga_ref, sgb_ref, hm_ref, hga_ref, hgb_ref,
                       h2m_ref, h2ga_ref, h2gb_ref):
@@ -406,7 +433,8 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         if inline_mm:
             av = av_ref[...]
             bl = bl_ref[0]
-            win = aw_ref[0, 0]  # (BS, K+1): win[:, j] = a[d0-2+j]
+            # (BS, (K+1)*SH): win[:, j*SH:(j+1)*SH] = per-pair a[d0-2+j]
+            win = aw_ref[0, 0]
             mt = scal_ref[3]
             mm = scal_ref[4]
         for k in range(K):
@@ -416,8 +444,9 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                 # never read (interior-only unpack), so plain mm scoring
                 # suffices — no poison select needed here
                 ss = jnp.where(av == bl, mt, mm)
-                av = jnp.concatenate([win[:, k + 1: k + 2],
-                                      av[:, : LN - 1]], axis=1)
+                av = jnp.concatenate(
+                    [win[:, (k + 1) * SH: (k + 2) * SH], av[:, : LN - SH]],
+                    axis=1)
             else:
                 ss = ss_ref[0, 0, k]
                 if ss.dtype != dt:
@@ -579,11 +608,6 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     P = max(1, TL // LBt)
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1  # packing requires a power-of-two block (bitwise-and mod)
-    if inline_mm and P != 1:
-        # the rolling a-codes vector admits one pair per row; callers must
-        # gate on P == 1 themselves BECAUSE the code spaces differ: inline
-        # takes compact_inputs_mm codes, the plane path compact_inputs codes
-        raise ValueError("inline_mm requires P == 1 (LBt >= TL)")
     LN = P * LBt  # lanes per row (=TL unless LBt > TL)
     D = LA + LBt - 1
     K = unroll
@@ -620,8 +644,13 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         main = awin[:, : DK * K].reshape(Bp, DK, K)
         last = awin[:, K: DK * K + K: K].reshape(Bp, DK, 1)
         aw = jnp.concatenate([main, last], axis=2)  # (Bp, DK, K+1)
-        aw = aw.reshape(nB, BS, DK, K + 1).transpose(0, 2, 1, 3)
-        bl = bc.reshape(nB, BS, LN)
+        # per-pair windows interleaved to the kernel's lane layout:
+        # win[:, j*P + p] = a_pair_p[dk*K + j]
+        aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
+        aw = aw.reshape(nB, DK, BS, (K + 1) * P)
+        # lane l = y0*P + p holds b_pair_p[y0]
+        bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
+        bl = bl.reshape(nB, BS, LN)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -647,12 +676,20 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
-    nalane = jnp.broadcast_to(
-        na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-    ).reshape(nB, 1, BS, LN)
-    nblane = jnp.broadcast_to(
-        nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-    ).reshape(nB, 1, BS, LN)
+    if inline_mm and P > 1:  # interleaved lanes: l = y0*P + p
+        nalane = jnp.broadcast_to(
+            na32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
+        ).reshape(nB, 1, BS, LN)
+        nblane = jnp.broadcast_to(
+            nb32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
+        ).reshape(nB, 1, BS, LN)
+    else:
+        nalane = jnp.broadcast_to(
+            na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+        ).reshape(nB, 1, BS, LN)
+        nblane = jnp.broadcast_to(
+            nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+        ).reshape(nB, 1, BS, LN)
     nabl = jnp.concatenate([nalane, nblane], axis=1)  # (nB, 2, BS, TL)
 
     nsum = (na32 + nb32).reshape(nB, BS * P)
@@ -673,7 +710,7 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     )
     if inline_mm:
         first_specs = [
-            pl.BlockSpec((1, 1, BS, K + 1), lambda i, d: (i, d, 0, 0)),
+            pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
             pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
         ]
         first_args = (aw, bl)
@@ -699,8 +736,11 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*first_args, nabl, drange, scal)
-    # reduce each pair's lane block to its score
-    out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
+    # reduce each pair's lanes to its score
+    if inline_mm and P > 1:
+        out = out.reshape(nB, BS, LBt, P).max(axis=2).reshape(Bp)
+    else:
+        out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
     return out[:B].astype(jnp.int32)
 
 
@@ -735,8 +775,6 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     K = unroll
     DK = -(-D // K)
 
-    if inline_mm and P != 1:
-        raise ValueError("inline_mm requires P == 1 (LBt >= TL)")
     BS = min(bs, 128)
     Bp = -(-B // (BS * P)) * (BS * P)
     if Bp != B:
@@ -762,8 +800,10 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
         main = awin[:, : DK * K].reshape(Bp, DK, K)
         last = awin[:, K: DK * K + K: K].reshape(Bp, DK, 1)
         aw = jnp.concatenate([main, last], axis=2)
-        aw = aw.reshape(nB, BS, DK, K + 1).transpose(0, 2, 1, 3)
-        bl = bc.reshape(nB, BS, LN)
+        aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
+        aw = aw.reshape(nB, DK, BS, (K + 1) * P)
+        bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
+        bl = bl.reshape(nB, BS, LN)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -791,12 +831,20 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
-    nalane = jnp.broadcast_to(
-        na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-    ).reshape(nB, 1, BS, LN)
-    nblane = jnp.broadcast_to(
-        nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-    ).reshape(nB, 1, BS, LN)
+    if inline_mm and P > 1:  # interleaved lanes: l = y0*P + p
+        nalane = jnp.broadcast_to(
+            na32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
+        ).reshape(nB, 1, BS, LN)
+        nblane = jnp.broadcast_to(
+            nb32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
+        ).reshape(nB, 1, BS, LN)
+    else:
+        nalane = jnp.broadcast_to(
+            na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+        ).reshape(nB, 1, BS, LN)
+        nblane = jnp.broadcast_to(
+            nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
+        ).reshape(nB, 1, BS, LN)
     nabl = jnp.concatenate([nalane, nblane], axis=1)
     nsum = (na32 + nb32).reshape(nB, BS * P)
     drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
@@ -819,7 +867,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
             else (lambda i, d: (0, 0, 0, 0, 0)))
     if inline_mm:
         first_specs = [
-            pl.BlockSpec((1, 1, BS, K + 1), lambda i, d: (i, d, 0, 0)),
+            pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
             pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
         ]
         first_args = (aw, bl)
@@ -859,31 +907,45 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     corner = None
     if not is_sw:
         INT_MIN32 = jnp.int32(np.iinfo(np.int32).min)
-        c = corn.reshape(nB, 3, BS, P, LBt)
-        if dt == jnp.float32:
-            c = jnp.where(jnp.isinf(c), jnp.float32(INT_MIN32), c)
-        c = c.max(axis=4)  # only lane nb-1 was ever written per pair
+        if inline_mm and P > 1:
+            c = corn.reshape(nB, 3, BS, LBt, P)
+            if dt == jnp.float32:
+                c = jnp.where(jnp.isinf(c), jnp.float32(INT_MIN32), c)
+            c = c.max(axis=3)  # only lane nb-1 was ever written per pair
+        else:
+            c = corn.reshape(nB, 3, BS, P, LBt)
+            if dt == jnp.float32:
+                c = jnp.where(jnp.isinf(c), jnp.float32(INT_MIN32), c)
+            c = c.max(axis=4)
         corner = (c.transpose(0, 2, 3, 1).reshape(Bp, 3)[:B]
                   .astype(jnp.int32))
     return dirs, m_out, corner
 
 
-def pack_geometry(LA: int, LBt: int, bs: int = 128) -> dict:
-    """Lane-packing geometry shared by the kernels and host-side unpackers."""
+def pack_geometry(LA: int, LBt: int, bs: int = 128,
+                  inline: bool = False) -> dict:
+    """Lane-packing geometry shared by the kernels and host-side unpackers.
+    ``inline`` selects the inline-mm path's interleaved lane layout when
+    P > 1 (lane l = pair l % P at y0 = l // P)."""
     P = max(1, TL // LBt)
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1
-    return dict(P=P, LN=P * LBt, D=LA + LBt - 1, BS=min(bs, 128))
+    return dict(P=P, LN=P * LBt, D=LA + LBt - 1, BS=min(bs, 128),
+                ILV=bool(inline and P > 1))
 
 
 def unpack_pair_plane(planes: np.ndarray, j: int, BS: int, P: int,
-                      LBt: int, D: int) -> np.ndarray:
+                      LBt: int, D: int, ilv: bool = False) -> np.ndarray:
     """Extract pair ``j``'s skewed (D, LBt+1) plane (lane = y, dummy lane 0)
     from a lane-packed (nB, DKK, BS, LN) kernel output — host-side numpy,
-    matching ``dp.dp_fill``'s per-pair dirs/mmat layout."""
+    matching ``dp.dp_fill``'s per-pair dirs/mmat layout.  ``ilv`` selects
+    the interleaved layout (pair p at lanes p, p+P, p+2P, ...)."""
     i, r = divmod(j, BS * P)
     s, p = divmod(r, P)
-    sl = planes[i, :D, s, p * LBt:(p + 1) * LBt]
+    if ilv:
+        sl = planes[i, :D, s, p::P]
+    else:
+        sl = planes[i, :D, s, p * LBt:(p + 1) * LBt]
     out = np.empty((D, LBt + 1), dtype=planes.dtype)
     out[:, 1:] = sl
     out[:, 0] = 0

@@ -142,15 +142,17 @@ def test_mm_eligible_gates():
     assert not dp.mm_eligible(scoring_system_BLOSUM62())
 
 
+@pytest.mark.parametrize("LB", [512, 32])  # P == 1 and interleaved P > 1
 @pytest.mark.parametrize("is_sw", [False, True])
-def test_pallas_dirs_inline_mm(is_sw):
+def test_pallas_dirs_inline_mm(is_sw, LB):
     """Dirs kernel inline equality scoring: interior planes bit-identical
-    to the XLA scan, with mixed-case ragged inputs."""
+    to the XLA scan, with mixed-case ragged inputs — in both the one-pair-
+    per-row and the interleaved lane-packed layouts."""
     from seqalign_tpu.scoring.config import ScoringConfig
 
     sc = ScoringConfig(2, -2, -2, -1) if is_sw else scoring_system_default()
     rng = np.random.default_rng(31 + is_sw)
-    B, LA, LB = 3, 24, 512
+    B, LA = 3, 24
     lut = np.frombuffer(b"acgtACGT", dtype=np.uint8)
     a = lut[rng.integers(0, 8, (B, LA))]
     b = lut[rng.integers(0, 8, (B, LB))]
@@ -165,8 +167,8 @@ def test_pallas_dirs_inline_mm(is_sw):
         mn, is_sw=is_sw, emit_m=is_sw, use_f32=True, interpret=True,
         bs=8, unroll=4, inline_mm=True, match=sc.match, mismatch=sc.mismatch,
     )
-    geo = pack_geometry(LA, LB, bs=8)
-    assert geo["P"] == 1
+    geo = pack_geometry(LA, LB, bs=8, inline=True)
+    assert geo["ILV"] == (LB < 512)
     dirs_np = np.asarray(dirs)
     m_np = np.asarray(m) if m is not None else None
     ref = dp.dp_fill(
@@ -180,7 +182,8 @@ def test_pallas_dirs_inline_mm(is_sw):
     xm = np.asarray(ref.mmat) if is_sw else None
     xc = np.asarray(ref.corner)
     for j in range(B):
-        pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB, geo["D"])
+        pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB, geo["D"],
+                               ilv=geo["ILV"])
         naj, nbj = int(na[j]), int(nb[j])
         for y in range(1, nbj + 1):
             r0 = y - 1
@@ -189,12 +192,42 @@ def test_pallas_dirs_inline_mm(is_sw):
                 err_msg=f"dirs pair {j} y={y}")
             if is_sw:
                 pm = unpack_pair_plane(m_np, j, geo["BS"], geo["P"], LB,
-                                       geo["D"])
+                                       geo["D"], ilv=geo["ILV"])
                 np.testing.assert_array_equal(
                     pm[r0:r0 + naj, y], xm[j][r0:r0 + naj, y],
                     err_msg=f"M pair {j} y={y}")
         if not is_sw:
             np.testing.assert_array_equal(np.asarray(corner)[j], xc[j])
+
+
+def test_pallas_scores_inline_mm_packed():
+    """P>1 interleaved inline scores (short b) vs the XLA path."""
+    sc = scoring_system_default()
+    rng = np.random.default_rng(17)
+    B, LA, LB = 8, 96, 128
+    luta = np.frombuffer(b"acgGA", dtype=np.uint8)
+    lutb = np.frombuffer(b"gtTAc", dtype=np.uint8)
+    a = luta[rng.integers(0, 5, (B, LA))]
+    b = lutb[rng.integers(0, 5, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    acm, bcm = dp.compact_inputs_mm(sc, a, b)
+    go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(False))
+    got = np.asarray(pallas_scores(
+        jnp.asarray(acm), jnp.asarray(bcm), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        interpret=True, inline_mm=True, match=sc.match, mismatch=sc.mismatch,
+    ))
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        nsg=False, neg=False, nga=False, ngb=False, nmm=False,
+        emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    np.testing.assert_array_equal(
+        got, np.asarray(jnp.max(ref.corner, axis=1)))
 
 
 def test_pallas_scores_wide_lbt():
