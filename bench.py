@@ -98,6 +98,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
                         use_f32=f32, inline_mm=inline,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
+                        unroll=16 if inline and L <= 512 else 8,
                     )
                     acc = s.sum()
                 else:

@@ -136,6 +136,11 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             bs=_pallas_bs(len(seqs_a), lb),
             inline_mm=inline, match=np.int32(sc.match),
             mismatch=np.int32(sc.mismatch),
+            # short sweeps are grid-step-bound: deeper unroll halves the
+            # step count (measured +30% at L=128, neutral at L=512).  The
+            # unrolled temporaries live on the kernel's VMEM stack, so K=16
+            # only fits standard 512-lane rows (LBt=1024 overflowed by 24KB)
+            unroll=16 if inline and lb <= 512 else 8,
         )
         return np.asarray(out)
     out, _, _ = dp.fill_batch(
