@@ -176,6 +176,25 @@ def _pallas_bs(n_pairs: int, lbt: int) -> int:
     return max(8, min(cap, dp._next_pow2(need)))
 
 
+def _pallas_dirs_bs(n_pairs: int, lbt: int) -> int:
+    """Batch-chunk sublanes for the dirs kernel: 13 VMEM state planes plus
+    the K-deep dirs/M output blocks (~LN*(52 + 5K) bytes per sublane) under
+    a ~6MB budget — measured working at 8192 lanes with bs 8."""
+    from .ops import dp
+    from .ops.pallas_dp import TL
+
+    P = max(1, TL // lbt)
+    if P > 1 and (lbt & (lbt - 1)) != 0:
+        P = 1
+    LN = P * lbt
+    budget = (12 << 20) if LN <= 1024 else (6 << 20)
+    cap = min(128, budget // (LN * 92))
+    while cap & (cap - 1):
+        cap &= cap - 1
+    need = -(-n_pairs // P)
+    return max(8, min(max(cap, 8), dp._next_pow2(need)))
+
+
 def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     """Try the Pallas direction-code kernel for a bucket (default-flags fast
     path on a real accelerator).  Returns (dirs_accessor, m_accessor,
@@ -191,8 +210,14 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     floor = _pallas_pad_floor()
     la = max(floor, dp._next_pow2(a.shape[1]))
     lb = max(floor, dp._next_pow2(b.shape[1]))
-    if lb > 512 or la * lb > LONG_PAIR_CELLS:
-        return None  # VMEM budget: 12 (BS, P*LBt) state planes
+    # Envelope: the inline-mm kernel was measured bit-exact up to 8192
+    # lanes (NW; VMEM fails past ~10k) — SW's emit_m int32 planes bound the
+    # host fetch, so it stays at 1024.  The plane path's shear/pack compile
+    # explodes past 512 lanes, so matrix scoring keeps that limit.
+    inline = dp.mm_eligible(sc)
+    lim = (1024 if is_sw else 8192) if inline else 512
+    if lb > lim or la * lb > LONG_PAIR_CELLS:
+        return None
     import jax.numpy as jnp
 
     from .ops.pallas_dp import (
@@ -203,10 +228,9 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     del imK
-    inline = dp.mm_eligible(sc)
     if inline:  # in-kernel equality scoring (shared fold-canonical codes)
         ac, bc = dp.compact_inputs_mm(sc, a, b)
-    bs = _pallas_bs(len(seqs_a), lb)
+    bs = _pallas_dirs_bs(len(seqs_a), lb)
     dirs, m, corner = pallas_fill_dirs(
         jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
         jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
