@@ -195,10 +195,14 @@ def _pallas_dirs_bs(n_pairs: int, lbt: int) -> int:
     return max(8, min(max(cap, 8), dp._next_pow2(need)))
 
 
-def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
+def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                      mins=None):
     """Try the Pallas direction-code kernel for a bucket (default-flags fast
-    path on a real accelerator).  Returns (dirs_accessor, m_accessor,
-    corner, na, nb, geometry) or None for XLA fallback."""
+    path on a real accelerator).  Returns (dirs_accessor, m_part, corner,
+    na, nb, geometry) or None for XLA fallback.  m_part is a per-pair
+    M-plane accessor — or, when ``mins`` (per-pair SW pruning thresholds)
+    is given, the device-harvested per-pair (flats, scores) candidate list
+    (M never reaches the host)."""
     if not _pallas_eligible(sc):
         return None
     from .ops import dp
@@ -211,11 +215,18 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     la = max(floor, dp._next_pow2(a.shape[1]))
     lb = max(floor, dp._next_pow2(b.shape[1]))
     # Envelope: the inline-mm kernel was measured bit-exact up to 8192
-    # lanes (NW; VMEM fails past ~10k) — SW's emit_m int32 planes bound the
-    # host fetch, so it stays at 1024.  The plane path's shear/pack compile
-    # explodes past 512 lanes, so matrix scoring keeps that limit.
+    # lanes (VMEM fails past ~10k).  Without a pruning threshold, SW's
+    # emit_m int32 planes bound the host fetch at 1024 lanes; with device
+    # candidate extraction the M matrix never transfers, so SW gets the
+    # full envelope too.  The plane path's shear/pack compile explodes past
+    # 512 lanes, so matrix scoring keeps that limit.
     inline = dp.mm_eligible(sc)
-    lim = (1024 if is_sw else 8192) if inline else 512
+    if not inline:
+        lim = 512
+    elif is_sw and mins is None:
+        lim = 1024
+    else:
+        lim = 8192
     if lb > lim or la * lb > LONG_PAIR_CELLS:
         return None
     import jax.numpy as jnp
@@ -243,19 +254,29 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     )
     geo = pack_geometry(la, lb, bs=bs, inline=inline)
     dirs_np = np.asarray(dirs)
-    m_np = np.asarray(m) if m is not None else None
     corner_np = np.asarray(corner) if corner is not None else None
 
     def planes(j, _arr=dirs_np):
         return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
                                  ilv=geo["ILV"])
 
-    def mplanes(j, _arr=m_np):
-        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
-                                 ilv=geo["ILV"])
+    if is_sw and mins is not None:
+        from .ops.pallas_dp import packed_to_pair_planes
 
-    return planes, (mplanes if m_np is not None else None), corner_np, na, \
-        nb, geo
+        mdev = packed_to_pair_planes(m, geo["BS"], geo["P"], lb,
+                                     ilv=geo["ILV"])[: len(seqs_a)]
+        m_part = dp.sw_extract_candidates(mdev, na, nb,
+                                          np.asarray(mins, np.int32))
+    elif m is not None:
+        m_np = np.asarray(m)
+
+        def m_part(j, _arr=m_np):
+            return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb,
+                                     geo["D"], ilv=geo["ILV"])
+    else:
+        m_part = None
+
+    return planes, m_part, corner_np, na, nb, geo
 
 
 def _buckets(seqs_a, seqs_b):
@@ -432,15 +453,23 @@ class SmithWaterman:
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
-            fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=True)
+            fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=True,
+                                     mins=mins)
             if fast is not None:
-                planes, mplanes, _, na, nb, geo = fast
+                planes, m_part, _, na, nb, geo = fast
                 for j, i in enumerate(idx):
-                    results[i] = SwHitIterator(
-                        self.scoring, ga[j], gb[j], int(na[j]), int(nb[j]),
-                        planes(j), mplanes(j), history=self.history,
-                        min_score=None if mins is None else mins[j],
-                    )
+                    if mins is not None:  # device-harvested candidates
+                        results[i] = SwHitIterator(
+                            self.scoring, ga[j], gb[j], int(na[j]),
+                            int(nb[j]), planes(j), history=self.history,
+                            candidates=m_part[j],
+                        )
+                    else:
+                        results[i] = SwHitIterator(
+                            self.scoring, ga[j], gb[j], int(na[j]),
+                            int(nb[j]), planes(j), m_part(j),
+                            history=self.history,
+                        )
                 continue
             out, na, nb = dp.fill_batch(
                 self.scoring, ga, gb, is_sw=True, emit_dirs=True,

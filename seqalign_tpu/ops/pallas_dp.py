@@ -934,6 +934,23 @@ def pack_geometry(LA: int, LBt: int, bs: int = 128,
                 ILV=bool(inline and P > 1))
 
 
+def packed_to_pair_planes(planes, BS: int, P: int, LBt: int,
+                          ilv: bool = False):
+    """Device-side batch unpack: lane-packed (nB, DKK, BS, LN) kernel
+    output -> per-pair skewed (Bp, DKK, LBt+1) planes (dummy lane 0, pair
+    order (i, s, p) — the same as :func:`unpack_pair_plane`).  Pure
+    reshape/transpose/pad, so the planes stay on device — the SW candidate
+    harvest (`dp.sw_extract_candidates`) can then run without ever fetching
+    the M matrix to host."""
+    nB, DKK, _, LN = planes.shape
+    if ilv:
+        x = planes.reshape(nB, DKK, BS, LBt, P).transpose(0, 2, 4, 1, 3)
+    else:
+        x = planes.reshape(nB, DKK, BS, P, LBt).transpose(0, 2, 3, 1, 4)
+    x = x.reshape(nB * BS * P, DKK, LBt)
+    return jnp.pad(x, ((0, 0), (0, 0), (1, 0)))
+
+
 def unpack_pair_plane(planes: np.ndarray, j: int, BS: int, P: int,
                       LBt: int, D: int, ilv: bool = False) -> np.ndarray:
     """Extract pair ``j``'s skewed (D, LBt+1) plane (lane = y, dummy lane 0)

@@ -116,6 +116,30 @@ def test_constrained_mode_pruned_stream(monkeypatch):
     assert got[: len(want)] == want
 
 
+def test_pallas_path_device_candidates(monkeypatch):
+    """Through the Pallas dirs kernel (interpret) with min_scores, the M
+    planes never reach the host — candidates are harvested on device from
+    the packed layout — and the hit stream matches the host path exactly."""
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(13)
+    sw = SmithWaterman(scoring_system_sw_default())
+    seqs_a = ["".join(rng.choice(list("acgt"), rng.integers(5, 15)))
+              for _ in range(5)]
+    seqs_b = ["".join(rng.choice(list("acgt"), rng.integers(5, 15)))
+              for _ in range(5)]
+    import seqalign_tpu.ops.host_dp as host_dp
+
+    pruned = sw.align_batch(seqs_a, seqs_b, min_scores=[4] * 5)
+    for it, a, b in zip(pruned, seqs_a, seqs_b):
+        assert it.mmat is None  # device harvest: no M on host
+        want = _stream(host_dp.HostSwHits(sw.scoring, a, b), 4)
+        got = [_key(h) for h in it]
+        assert got[: len(want)] == want
+        assert all(k[0] >= 4 for k in got)
+
+
 def test_cli_output_identical_with_pruning(monkeypatch, tmp_path, capsys):
     """Full SW CLI bytes with the device path + pruning == host-path bytes
     (the pruning hint must be invisible in output)."""
