@@ -67,8 +67,9 @@ def _pallas_pad_floor() -> int:
 
 
 def _pallas_eligible(sc: ScoringConfig) -> bool:
-    """The Pallas kernels cover the default-flags fast path with
-    gap_open <= 0 on a real accelerator; everything else uses the XLA path."""
+    """The Pallas kernels cover the fast path (default flags plus the free
+    start/end-gap modes) with gap_open <= 0 on a real accelerator; the
+    no-gaps/no-mismatch constrained modes use the XLA path."""
     mode = _pallas_mode()
     if mode == "off":
         return False
@@ -78,8 +79,7 @@ def _pallas_eligible(sc: ScoringConfig) -> bool:
         if jax.default_backend() == "cpu":
             return False
     return not (
-        sc.no_start_gap_penalty or sc.no_end_gap_penalty or sc.no_gaps_in_a
-        or sc.no_gaps_in_b or sc.no_mismatches
+        sc.no_gaps_in_a or sc.no_gaps_in_b or sc.no_mismatches
     ) and sc.gap_open <= 0
 
 
@@ -136,6 +136,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             bs=_pallas_bs(len(seqs_a), lb),
             inline_mm=inline, match=np.int32(sc.match),
             mismatch=np.int32(sc.mismatch),
+            nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
             # short sweeps are grid-step-bound: deeper unroll halves the
             # step count (measured +30% at L=128, neutral at L=512).  The
             # unrolled temporaries live on the kernel's VMEM stack, so K=16
@@ -251,6 +252,7 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         interpret=_pallas_mode() == "interpret",
         bs=bs, inline_mm=inline, match=np.int32(sc.match),
         mismatch=np.int32(sc.mismatch),
+        nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
     )
     geo = pack_geometry(la, lb, bs=bs, inline=inline)
     dirs_np = np.asarray(dirs)

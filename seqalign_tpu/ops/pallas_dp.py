@@ -95,7 +95,8 @@ def _shear_t(pt):
 PADA, PADB = (1 << 20), (1 << 20) + 1  # inline-mm pad codes (never equal)
 
 
-def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
+def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
+            nsg=False, neg=False):
     if inline_mm:
         # Equality-scoring fast path: no substitution planes at all.  The
         # sheared a-codes vector lives in VMEM and advances one lane per
@@ -170,7 +171,8 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
             hs2_ref[...] = zero
             accv_ref[...] = zero
         else:
-            run1 = gop  # boundary gap run of length 1
+            # boundary gap run of length 1 (free under nsg)
+            run1 = jnp.zeros((), dt) if nsg else gop
             mnv = zero + mn
             # prev1 = diagonal 1: lane0 of each block = cell (1,0):
             # H = E = run1, F = mn
@@ -192,7 +194,10 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
     zero_dt = jnp.zeros((), dt)
 
     def drun(d):
-        """Row-0 boundary gap run go + d*ge at traced diagonal d."""
+        """Row-0 boundary gap run go + d*ge at traced diagonal d (free with
+        no_start_gap_penalty, alignment.c:59-81)."""
+        if nsg:
+            return zero_dt
         dv = jnp.asarray(d, i32)
         return go + (dv.astype(dt) * ge if dt != i32 else dv * ge)
 
@@ -202,6 +207,15 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
         )
         if is_sw:
             accv = accv_ref[...]
+        if neg:
+            # free end gaps: zero gap penalties in the last column (GAP_A /
+            # E) and last row (GAP_B / F) — folded into the summands so the
+            # recurrence mirrors alignment.c:128-155 exactly
+            nal = nabl_ref[0, 0]
+            nbl = nabl_ref[0, 1]
+            lane_nb = y0 == (nbl - 1)
+            bo = jnp.where(lane_nb, zero_dt, gop)
+            be = jnp.where(lane_nb, zero_dt, ge)
         if inline_mm:
             av = av_ref[...]
             bl = bl_ref[0]
@@ -233,8 +247,15 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
                     if is_sw:
                         ss = jnp.where(ss == POISON8,
                                        jnp.asarray(POISON, dt), ss)
-            e_new = jnp.maximum(hs + gop, es + ge)
-            f_new = jnp.maximum(h + gop, f + ge)
+            if neg:
+                lastcol = y0 == (d - 1 - nal)  # lane where global x == na
+                ao = jnp.where(lastcol, zero_dt, gop)
+                ae = jnp.where(lastcol, zero_dt, ge)
+                e_new = jnp.maximum(hs + ao, es + ae)
+                f_new = jnp.maximum(h + bo, f + be)
+            else:
+                e_new = jnp.maximum(hs + gop, es + ge)
+                f_new = jnp.maximum(h + gop, f + ge)
             if clamp:
                 e_new = jnp.maximum(e_new, mn)
                 f_new = jnp.maximum(f_new, mn)
@@ -308,7 +329,7 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False):
 
 
 def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
-                 inline_mm=False):
+                 inline_mm=False, nsg=False, neg=False):
     if inline_mm:
         # equality scoring computed in-kernel (see _kernel): aw_ref carries
         # this block's entering a-codes, av_ref the rolling sheared codes
@@ -368,11 +389,13 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             s = jnp.where(bstart, fillv, s)
         return s
 
+    zero_dt = jnp.zeros((), dt)
+
     def drun(d):
+        if nsg:  # free start gaps: boundary runs cost 0 (alignment.c:59-81)
+            return zero_dt
         dv = jnp.asarray(d, i32)
         return go + (dv.astype(dt) * ge if dt != i32 else dv * ge)
-
-    zero_dt = jnp.zeros((), dt)
 
     @pl.when(dk == 0)
     def _init():
@@ -389,7 +412,7 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                       h2m_ref, h2ga_ref, h2gb_ref):
                 r[...] = zero
         else:
-            run1 = gop
+            run1 = zero_dt if nsg else gop
             mnv = zero + mn
             # S(1): lane0 = cell (1,0) = (mn, run1, mn); rest mn
             sm_ref[...] = mnv
@@ -422,11 +445,12 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         pm1, pga1, pgb1 = sm_ref[...], sga_ref[...], sgb_ref[...]
         m1s, ga1s, gb1s = hm_ref[...], hga_ref[...], hgb_ref[...]
         m2s, ga2s, gb2s = h2m_ref[...], h2ga_ref[...], h2gb_ref[...]
-        if not is_sw:
-            cm, cga, cgb = cm_ref[...], cga_ref[...], cgb_ref[...]
+        if not is_sw or neg:
             nal = nabl_ref[0, 0]
             nbl = nabl_ref[0, 1]
             lane_nb = y0 == (nbl - 1)
+        if not is_sw:
+            cm, cga, cgb = cm_ref[...], cga_ref[...], cgb_ref[...]
             dlo = drange_ref[ib, 0]
             dhi = drange_ref[ib, 1]
             cap = (d0 <= dhi) & (d0 + K > dlo)
@@ -454,13 +478,26 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             amax = jnp.maximum(jnp.maximum(m2s, ga2s), gb2s)
             m_arg = amax + ss
             Mv = jnp.maximum(m_arg, zero_dt) if is_sw else m_arg
-            s1 = m1s + gop
-            s2 = ga1s + ge
-            s3 = gb1s + gop
+            if neg:
+                # free end gaps: zero penalties in the last column (GAP_A)
+                # / last row (GAP_B), folded into the summands so both the
+                # fill values AND the direction-code equalities below see
+                # them (alignment.c:128-155, 265-268)
+                lastcol = y0 == (d - 1 - nal)
+                a_open = jnp.where(lastcol, zero_dt, gop)
+                a_ext = jnp.where(lastcol, zero_dt, ge)
+                b_open = jnp.where(lane_nb, zero_dt, gop)
+                b_ext = jnp.where(lane_nb, zero_dt, ge)
+            else:
+                a_open = b_open = gop
+                a_ext = b_ext = ge
+            s1 = m1s + a_open
+            s2 = ga1s + a_ext
+            s3 = gb1s + a_open
             ga_v = jnp.maximum(jnp.maximum(s1, s2), s3)
-            t1 = pm1 + gop
-            t2 = pga1 + gop
-            t3 = pgb1 + ge
+            t1 = pm1 + b_open
+            t2 = pga1 + b_open
+            t3 = pgb1 + b_ext
             gb_v = jnp.maximum(jnp.maximum(t1, t2), t3)
             if is_sw:
                 ga_v = jnp.maximum(ga_v, zero_dt)
@@ -568,13 +605,14 @@ def f32_safe(sc, LA, LB) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8",
-                     "inline_mm"),
+                     "inline_mm", "nsg", "neg"),
 )
 def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   *, is_sw: bool, interpret: bool = False,
                   unroll: int = 8, bs: int = 128, use_f32: bool = True,
                   ss8: bool = True, inline_mm: bool = False,
-                  match=None, mismatch=None):
+                  match=None, mismatch=None, nsg: bool = False,
+                  neg: bool = False):
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
 
     ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
@@ -706,7 +744,7 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 
     kernel = functools.partial(
         _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
-        ss_i8=ss8, inline_mm=inline_mm,
+        ss_i8=ss8, inline_mm=inline_mm, nsg=nsg, neg=neg,
     )
     if inline_mm:
         first_specs = [
@@ -747,13 +785,14 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "use_f32", "ss8", "inline_mm"),
+                     "use_f32", "ss8", "inline_mm", "nsg", "neg"),
 )
 def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      *, is_sw: bool, emit_m: bool, interpret: bool = False,
                      unroll: int = 8, bs: int = 128, use_f32: bool = True,
                      ss8: bool = True, inline_mm: bool = False,
-                     match=None, mismatch=None):
+                     match=None, mismatch=None, nsg: bool = False,
+                     neg: bool = False):
     """Batched full fill with packed direction codes on TPU via Pallas —
     the fast path behind ``dp.fill_batch(emit_dirs=True)`` for default
     scoring flags (other modes use the XLA scan).
@@ -860,7 +899,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
 
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
-        DK=DK, dt=dt, inline_mm=inline_mm,
+        DK=DK, dt=dt, inline_mm=inline_mm, nsg=nsg, neg=neg,
     )
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
     mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m

@@ -230,6 +230,120 @@ def test_pallas_scores_inline_mm_packed():
         got, np.asarray(jnp.max(ref.corner, axis=1)))
 
 
+@pytest.mark.parametrize("nsg,neg", [(True, False), (False, True),
+                                     (True, True)])
+@pytest.mark.parametrize("inline", [False, True])
+def test_pallas_scores_free_gap_modes(nsg, neg, inline):
+    """Free start/end-gap NW modes through the scores kernel (both scoring
+    paths) must equal the XLA fill exactly."""
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    sc = ScoringConfig(1, -2, -4, -1, no_start_gap_penalty=nsg,
+                       no_end_gap_penalty=neg)
+    rng = np.random.default_rng(3 * nsg + 7 * neg + inline)
+    B, LA, LB = 8, 96, 128
+    lut = np.frombuffer(b"acgt", dtype=np.uint8)
+    a = lut[rng.integers(0, 4, (B, LA))]
+    b = lut[rng.integers(0, 4, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
+    mn = np.int32(sc.dp_floor(False))
+    if inline:
+        acp, bcp = dp.compact_inputs_mm(sc, a, b)
+    else:
+        acp, bcp = ac, bc
+    got = np.asarray(pallas_scores(
+        jnp.asarray(acp), jnp.asarray(bcp), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        interpret=True, inline_mm=inline, match=sc.match,
+        mismatch=sc.mismatch, nsg=nsg, neg=neg,
+    ))
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        nsg=nsg, neg=neg, nga=False, ngb=False, nmm=False,
+        emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    np.testing.assert_array_equal(got,
+                                  np.asarray(jnp.max(ref.corner, axis=1)))
+
+
+@pytest.mark.parametrize("nsg,neg", [(True, False), (False, True),
+                                     (True, True)])
+def test_pallas_dirs_free_gap_modes(nsg, neg):
+    """Free start/end-gap NW traceback through the dirs kernel: interior
+    planes and corners bit-identical to the XLA scan (the equalities must
+    see the zeroed end-gap penalties, alignment.c:265-268)."""
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    sc = ScoringConfig(1, -2, -4, -1, no_start_gap_penalty=nsg,
+                       no_end_gap_penalty=neg)
+    rng = np.random.default_rng(11 * nsg + 13 * neg)
+    B, LA, LB = 3, 24, 32
+    lut = np.frombuffer(b"acgt", dtype=np.uint8)
+    a = lut[rng.integers(0, 4, (B, LA))]
+    b = lut[rng.integers(0, 4, (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    acm, bcm = dp.compact_inputs_mm(sc, a, b)
+    mn = np.int32(sc.dp_floor(False))
+    dirs, m, corner = pallas_fill_dirs(
+        jnp.asarray(acm), jnp.asarray(bcm), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        mn, is_sw=False, emit_m=False, use_f32=True, interpret=True,
+        bs=8, unroll=4, inline_mm=True, match=sc.match, mismatch=sc.mismatch,
+        nsg=nsg, neg=neg,
+    )
+    geo = pack_geometry(LA, LB, bs=8, inline=True)
+    dirs_np = np.asarray(dirs)
+    ref = dp.dp_fill(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(subK), jnp.asarray(imK), np.int32(sc.gap_open),
+        np.int32(sc.gap_extend), mn, is_sw=False, nsg=nsg, neg=neg,
+        nga=False, ngb=False, nmm=False, emit_dirs=True, emit_m=False,
+        emit_gab=False,
+    )
+    xd = np.asarray(ref.dirs)
+    for j in range(B):
+        pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB,
+                               geo["D"], ilv=geo["ILV"])
+        naj, nbj = int(na[j]), int(nb[j])
+        for y in range(1, nbj + 1):
+            r0 = y - 1
+            np.testing.assert_array_equal(
+                pd[r0:r0 + naj, y], xd[j][r0:r0 + naj, y],
+                err_msg=f"dirs pair {j} y={y} nsg={nsg} neg={neg}")
+        np.testing.assert_array_equal(np.asarray(corner)[j],
+                                      np.asarray(ref.corner)[j])
+
+
+def test_aligner_free_gap_modes_interpret(monkeypatch):
+    """align_batch with --freestartgap/--freeendgap through the Pallas path
+    == the host reference path (alignment strings, not just scores)."""
+    from seqalign_tpu.aligners import NeedlemanWunsch
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(23)
+    seqs_a = ["".join(rng.choice(list("acgt"), rng.integers(3, 14)))
+              for _ in range(5)]
+    seqs_b = ["".join(rng.choice(list("acgt"), rng.integers(3, 14)))
+              for _ in range(5)]
+    for nsg, neg in ((True, False), (False, True), (True, True)):
+        sc = ScoringConfig(1, -2, -4, -1, no_start_gap_penalty=nsg,
+                           no_end_gap_penalty=neg)
+        nw = NeedlemanWunsch(sc)
+        got = nw.align_batch(seqs_a, seqs_b)
+        want = [host_dp.nw_align(sc, x, y) for x, y in zip(seqs_a, seqs_b)]
+        assert got == want, (nsg, neg)
+
+
 def test_pallas_scores_wide_lbt():
     """LBt beyond TL=512 (one pair spans the whole row) — bit-exact on real
     TPU up to LBt=4096 (measured); interpret mode pins the wiring, and
