@@ -44,6 +44,10 @@ HOST_MAX_PAIRS = 32
 # substitution scores are ~8 transient bytes/cell).
 LONG_PAIR_CELLS = 64_000_000
 
+# Placeholder substitution tables for the inline-mm kernel paths (the
+# kernels never read them; a fixed shape keeps one jit cache entry)
+_DUMMY_TABLE = np.zeros((8, 8), np.int32)
+
 
 def _route(total_cells: int, n_pairs: int) -> str:
     force = os.environ.get("SEQALIGN_FORCE", "")
@@ -119,12 +123,15 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     if use_pallas:
         a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
         b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
-        ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
         # equality-scoring fast path: shared fold-canonical codes computed
-        # in-kernel (no substitution planes; 5-10x measured)
+        # in-kernel — no substitution tables at all (the kernel never reads
+        # subK in inline mode; a fixed dummy keeps the jit signature)
         inline = dp.mm_eligible(sc)
         if inline:
             ac, bc = dp.compact_inputs_mm(sc, a, b)
+            subK = imK = _DUMMY_TABLE
+        else:
+            ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
         out = pallas_scores(
             jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
             jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK),
@@ -238,10 +245,12 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 
     a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
     b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
-    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
-    del imK
     if inline:  # in-kernel equality scoring (shared fold-canonical codes)
         ac, bc = dp.compact_inputs_mm(sc, a, b)
+        subK = _DUMMY_TABLE
+    else:
+        ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+        del imK
     bs = _pallas_dirs_bs(len(seqs_a), lb)
     dirs, m, corner = pallas_fill_dirs(
         jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),

@@ -539,24 +539,34 @@ class ResumeState:
     """Restartable batch runs over ``--file`` input streams.
 
     ``SEQALIGN_SKIP_PAIRS=<n>`` skips the first n file pairs; with
-    ``SEQALIGN_RESUME_FILE=<path>`` the CLI additionally persists the count
-    of fully-emitted pairs after every pair/chunk (atomic rename), and a
-    later run with the same env resumes where the file says.  The offset
-    file, when present and non-empty, overrides SEQALIGN_SKIP_PAIRS.
-    Skipped pairs still count toward the reference's empty-input warning,
-    and the SW alignment index continues from the offset so resumed output
-    concatenates seamlessly.
+    ``SEQALIGN_RESUME_FILE=<path>`` the CLI additionally persists
+    ``<pairs-emitted> <alignment-index>`` after every pair/chunk (atomic
+    rename), and a later run with the same env resumes where the file
+    says.  The offset file, when present and non-empty, overrides
+    SEQALIGN_SKIP_PAIRS.  Skipped pairs still count toward the reference's
+    empty-input warning, and the SW alignment counter restores from the
+    second field (it does NOT equal the pair count when empty-sequence
+    pairs were skipped over — the reference prints their error without
+    consuming an index, sw_cmdline.c:136-150) so resumed output
+    concatenates seamlessly.  Intended for pure ``--file`` runs; a
+    command-line seq pair is re-aligned by every resumed invocation.
     """
 
     def __init__(self):
         self.path = os.environ.get("SEQALIGN_RESUME_FILE") or None
         skip = int(os.environ.get("SEQALIGN_SKIP_PAIRS", "0") or "0")
+        index = None
         if self.path and os.path.exists(self.path):
             with open(self.path) as fh:
-                txt = fh.read().strip()
-            if txt:
-                skip = int(txt)
+                parts = fh.read().split()
+            if parts:
+                skip = int(parts[0])
+                if len(parts) > 1:
+                    index = int(parts[1])
         self.initial_skip = max(0, skip)
+        # SEQALIGN_SKIP_PAIRS alone can't know how many of the skipped
+        # pairs consumed an alignment index; assume all did
+        self.initial_index = self.initial_skip if index is None else index
         self._skip_remaining = self.initial_skip
         self.completed = self.initial_skip
 
@@ -566,12 +576,15 @@ class ResumeState:
             return True
         return False
 
-    def done(self, n: int):
+    def done(self, n: int, index: Optional[int] = None):
         self.completed += n
         if self.path:
             tmp = self.path + ".tmp"
             with open(tmp, "w") as fh:
-                fh.write("%d\n" % self.completed)
+                if index is None:
+                    fh.write("%d\n" % self.completed)
+                else:
+                    fh.write("%d %d\n" % (self.completed, index))
             os.replace(tmp, self.path)
 
 

@@ -39,8 +39,10 @@ def main(argv=None):
     stats = make_stats()
     resume = ResumeState()
     # resumed runs continue the reference's global alignment counter so the
-    # concatenated output is identical to one uninterrupted run
-    state = {"alignment_index": resume.initial_skip,
+    # concatenated output is identical to one uninterrupted run (restored
+    # from the offset file's second field — empty-seq pairs don't consume
+    # an index, sw_cmdline.c:136-150)
+    state = {"alignment_index": resume.initial_index,
              "wait_on_keystroke": False}
 
     def get_next_hit():
@@ -92,17 +94,24 @@ def main(argv=None):
 
     sw = SmithWaterman(sc)
 
+    def default_min_score(len_a, len_b):
+        """The default limit formula, with the C double expression's int
+        truncation (tools/sw_cmdline.c:192-202).  ONE definition: the
+        pruning hint and the break threshold must stay exactly equal or
+        device-pruned candidates could drop hits the reference prints."""
+        return int(sc.match * max(0.2 * min(len_a, len_b), 2))
+
     def prune_for(len_a, len_b):
-        """The run's min-score break threshold (tools/sw_cmdline.c:192-202),
-        passed to the aligner as a candidate-pruning hint so big fills
-        harvest candidates on device.  Disabled in interactive mode
-        (min_score 0) and in ref-mask-compat mode (sub-threshold walks must
-        still mark the shared mask exactly like the reference)."""
+        """The run's min-score break threshold, passed to the aligner as a
+        candidate-pruning hint so big fills harvest candidates on device.
+        Disabled in interactive mode (min_score 0) and in ref-mask-compat
+        mode (sub-threshold walks must still mark the shared mask exactly
+        like the reference)."""
         if sw.history is not None or state["wait_on_keystroke"]:
             return None
         if cmd.min_score_set:
             return cmd.min_score
-        return int(sc.match * max(0.2 * min(len_a, len_b), 2))
+        return default_min_score(len_a, len_b)
 
     def align(seq_a, seq_b, name_a=None, name_b=None, hits=None):
         # tools/sw_cmdline.c:125-311
@@ -156,11 +165,8 @@ def main(argv=None):
 
         min_score = cmd.min_score
         if not cmd.min_score_set:
-            # default limit (tools/sw_cmdline.c:192-202); int truncation of
-            # the C double expression
-            min_score = 0 if state["wait_on_keystroke"] else int(
-                sc.match * max(0.2 * min(len_a, len_b), 2)
-            )
+            min_score = 0 if state["wait_on_keystroke"] else \
+                default_min_score(len_a, len_b)
         out.flush()
 
         hit_index = 0
@@ -250,7 +256,7 @@ def main(argv=None):
                     if resume.should_skip():
                         return
                     align(r1[1], r2[1], r1[0], r2[0])
-                    resume.done(1)
+                    resume.done(1, state["alignment_index"])
 
                 align_from_file(file1, file2, one,
                                 use_zlib=not cmd.interactive)
@@ -263,13 +269,13 @@ def main(argv=None):
                     buf.append((r1, r2))
                     if len(buf) >= CHUNK:
                         align_many(buf)
-                        resume.done(len(buf))
+                        resume.done(len(buf), state["alignment_index"])
                         del buf[:]
 
                 align_from_file(file1, file2, collect, use_zlib=True)
                 if buf:
                     align_many(buf)
-                    resume.done(len(buf))
+                    resume.done(len(buf), state["alignment_index"])
     stats_finish(stats)
     disarm()
     return 0

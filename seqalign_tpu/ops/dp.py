@@ -711,8 +711,7 @@ def _sw_cand_geometry(mmat, na, nb, min_s, x_off):
         & (x >= 1) & (x <= na.astype(i32)[:, None, None])
         & (mmat >= thr)
     )
-    flat = yv * (na.astype(i32)[:, None, None] + 1) + x
-    return valid, flat
+    return valid, x
 
 
 @jax.jit
@@ -723,35 +722,47 @@ def _sw_cand_count(mmat, na, nb, min_s, x_off):
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _sw_cand_topk(mmat, na, nb, min_s, x_off, k):
-    valid, flat = _sw_cand_geometry(mmat, na, nb, min_s, x_off)
-    B = mmat.shape[0]
+    valid, x = _sw_cand_geometry(mmat, na, nb, min_s, x_off)
+    B, D, LBp = mmat.shape
     key = jnp.where(valid, mmat, jnp.int32(-(2**31))).reshape(B, -1)
     vals, idx = jax.lax.top_k(key, k)
-    flats = jnp.take_along_axis(flat.reshape(B, -1), idx, axis=1)
-    return vals, flats
+    # (y, x) return separately: composing flat = y*(na+1)+x on device would
+    # wrap int32 for giant pairs (TPU has no vector int64); host composes
+    ys = (idx % LBp).astype(jnp.int32)
+    xb = jnp.broadcast_to(x, mmat.shape).reshape(B, -1)
+    xs = jnp.take_along_axis(xb, idx, axis=1)
+    return vals, ys, xs
 
 
 def sw_extract_candidates(mmat, na, nb, min_scores, x_off=0):
     """Harvest SW hit candidates (cells with M >= max(min_score, 1)) from a
     device-resident skewed M batch without fetching the matrix.
 
-    Returns a list of per-pair ``(flats, scores)`` int32 numpy arrays,
-    UNSORTED (the SwHitIterator applies the reference tie ordering).
-    ``min_scores`` broadcasts to (B,).  flat = y * (na+1) + x with global x
-    (pass ``x_off`` for chunked slabs).
+    Returns a list of per-pair ``(flats, scores)`` numpy arrays (flats
+    int64 = y * (na+1) + x with global x — composed on host so giant pairs
+    never wrap int32), UNSORTED (the SwHitIterator applies the reference
+    tie ordering).  ``min_scores`` broadcasts to (B,).  Pass ``x_off`` for
+    chunked slabs.
     """
     B, D, LBp = mmat.shape
     min_s = jnp.broadcast_to(jnp.asarray(min_scores, jnp.int32), (B,))
     naj, nbj = jnp.asarray(na), jnp.asarray(nb)
     counts = np.asarray(_sw_cand_count(mmat, naj, nbj, min_s, x_off))
     kmax = int(counts.max(initial=0))
-    empty = np.zeros(0, np.int32)
+    empty = np.zeros(0, np.int64)
     if kmax == 0:
-        return [(empty, empty) for _ in range(B)]
+        return [(empty, empty.astype(np.int32)) for _ in range(B)]
     k = min(D * LBp, _next_pow2(kmax))
-    vals, flats = _sw_cand_topk(mmat, naj, nbj, min_s, x_off, k=k)
-    vals, flats = np.asarray(vals), np.asarray(flats)
-    return [(flats[i, : counts[i]], vals[i, : counts[i]]) for i in range(B)]
+    vals, ys, xs = _sw_cand_topk(mmat, naj, nbj, min_s, x_off, k=k)
+    vals, ys, xs = np.asarray(vals), np.asarray(ys), np.asarray(xs)
+    na_np = np.asarray(na).astype(np.int64)
+    out = []
+    for i in range(B):
+        c = counts[i]
+        flats = ys[i, :c].astype(np.int64) * (na_np[i] + 1) \
+            + xs[i, :c].astype(np.int64)
+        out.append((flats, vals[i, :c]))
+    return out
 
 
 def deskew(skewed: np.ndarray, na: int, nb: int, fill=0) -> np.ndarray:

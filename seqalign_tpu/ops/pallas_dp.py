@@ -636,8 +636,11 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     ``inline_mm`` (with ``match``/``mismatch``): equality scoring computed
     inside the kernel from rolling a-codes — no profile matmul, no diagonal
     shear, no plane stream (they were ~50% of wall time at B=256, L=512).
-    Caller contract: use_match_mismatch scoring with no swaps/wildcards
-    (compact-code equality == fold-equality) and P == 1 (LBt >= TL).
+    Caller contract: use_match_mismatch scoring with no swaps/wildcards,
+    and the sequences MUST be coded by :func:`dp.compact_inputs_mm`
+    (shared fold-canonical alphabet — per-sequence compact codes give
+    wrong equality).  Lane-packed rows (P > 1) use the interleaved layout
+    (pair l % P at y0 = l // P).  ``subK``/``imK`` are ignored.
     """
     del imK  # scores-only path never needs the is-match table
     B, LA = ac.shape

@@ -163,6 +163,29 @@ def test_sw_resume_alignment_index(tmp_path, monkeypatch):
     assert full.endswith(tail) and tail.count("== Alignment") == 1
 
 
+def test_sw_resume_with_empty_pairs(tmp_path, monkeypatch):
+    """Empty-sequence pairs don't consume an alignment index
+    (sw_cmdline.c:136-150), so a resume must restore the INDEX from the
+    offset file, not assume index == pairs completed."""
+    from seqalign_tpu.cli.smith_waterman import main
+
+    fa = tmp_path / "p.fa"
+    # pair 0 ok, pair 1 has an empty sequence, pair 2 ok
+    fa.write_text(">a0\nACGTACGT\n>b0\nCGTA\n"
+                  ">a1\n\n>b1\nTTTT\n"
+                  ">a2\nTTTTA\n>b2\nTTATA\n")
+    rc, full, _ = _run_cli(main, ["--file", str(fa)])
+    assert "== Alignment 1 " in full and "== Alignment 2" not in full
+
+    off = tmp_path / "r.off"
+    monkeypatch.setenv("SEQALIGN_RESUME_FILE", str(off))
+    off.write_text("2 1\n")  # 2 pairs done, but only 1 alignment emitted
+    rc, tail, _ = _run_cli(main, ["--file", str(fa)])
+    assert rc == 0
+    assert full.endswith(tail) and "== Alignment 1 " in tail
+    assert off.read_text().split() == ["3", "2"]
+
+
 def test_trace_dir_writes_profile(tmp_path, monkeypatch):
     from seqalign_tpu.cli.needleman_wunsch import main
 

@@ -233,14 +233,16 @@ def test_pallas_scores_inline_mm_packed():
 @pytest.mark.parametrize("nsg,neg", [(True, False), (False, True),
                                      (True, True)])
 @pytest.mark.parametrize("inline", [False, True])
-def test_pallas_scores_free_gap_modes(nsg, neg, inline):
-    """Free start/end-gap NW modes through the scores kernel (both scoring
-    paths) must equal the XLA fill exactly."""
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_scores_free_gap_modes(nsg, neg, inline, is_sw):
+    """Free start/end-gap modes through the scores kernel (both scoring
+    paths, NW and SW — the XLA fill applies neg to SW too) must equal the
+    XLA fill exactly."""
     from seqalign_tpu.scoring.config import ScoringConfig
 
-    sc = ScoringConfig(1, -2, -4, -1, no_start_gap_penalty=nsg,
-                       no_end_gap_penalty=neg)
-    rng = np.random.default_rng(3 * nsg + 7 * neg + inline)
+    sc = ScoringConfig(2 if is_sw else 1, -2, -4, -1,
+                       no_start_gap_penalty=nsg, no_end_gap_penalty=neg)
+    rng = np.random.default_rng(3 * nsg + 7 * neg + inline + 17 * is_sw)
     B, LA, LB = 8, 96, 128
     lut = np.frombuffer(b"acgt", dtype=np.uint8)
     a = lut[rng.integers(0, 4, (B, LA))]
@@ -249,38 +251,41 @@ def test_pallas_scores_free_gap_modes(nsg, neg, inline):
     nb = rng.integers(1, LB + 1, B).astype(np.int32)
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
-    mn = np.int32(sc.dp_floor(False))
+    mn = np.int32(sc.dp_floor(is_sw))
     if inline:
         acp, bcp = dp.compact_inputs_mm(sc, a, b)
     else:
         acp, bcp = ac, bc
     got = np.asarray(pallas_scores(
         jnp.asarray(acp), jnp.asarray(bcp), jnp.asarray(na), jnp.asarray(nb),
-        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=is_sw,
         interpret=True, inline_mm=inline, match=sc.match,
         mismatch=sc.mismatch, nsg=nsg, neg=neg,
     ))
     ref = dp.dp_fill(
         jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
-        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=False,
+        jnp.asarray(subK), jnp.asarray(imK), go, ge, mn, is_sw=is_sw,
         nsg=nsg, neg=neg, nga=False, ngb=False, nmm=False,
         emit_dirs=False, emit_m=False, emit_gab=False,
     )
-    np.testing.assert_array_equal(got,
-                                  np.asarray(jnp.max(ref.corner, axis=1)))
+    want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
+    np.testing.assert_array_equal(got, want)
 
 
 @pytest.mark.parametrize("nsg,neg", [(True, False), (False, True),
                                      (True, True)])
-def test_pallas_dirs_free_gap_modes(nsg, neg):
-    """Free start/end-gap NW traceback through the dirs kernel: interior
-    planes and corners bit-identical to the XLA scan (the equalities must
-    see the zeroed end-gap penalties, alignment.c:265-268)."""
+@pytest.mark.parametrize("inline", [True, False])
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_dirs_free_gap_modes(nsg, neg, inline, is_sw):
+    """Free start/end-gap traceback through the dirs kernel (inline AND
+    plane scoring paths, NW and SW): interior planes and corners
+    bit-identical to the XLA scan (the equalities must see the zeroed
+    end-gap penalties, alignment.c:265-268)."""
     from seqalign_tpu.scoring.config import ScoringConfig
 
-    sc = ScoringConfig(1, -2, -4, -1, no_start_gap_penalty=nsg,
-                       no_end_gap_penalty=neg)
-    rng = np.random.default_rng(11 * nsg + 13 * neg)
+    sc = ScoringConfig(2 if is_sw else 1, -2, -4, -1,
+                       no_start_gap_penalty=nsg, no_end_gap_penalty=neg)
+    rng = np.random.default_rng(11 * nsg + 13 * neg + 5 * is_sw + inline)
     B, LA, LB = 3, 24, 32
     lut = np.frombuffer(b"acgt", dtype=np.uint8)
     a = lut[rng.integers(0, 4, (B, LA))]
@@ -288,25 +293,30 @@ def test_pallas_dirs_free_gap_modes(nsg, neg):
     na = rng.integers(1, LA + 1, B).astype(np.int32)
     nb = rng.integers(1, LB + 1, B).astype(np.int32)
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
-    acm, bcm = dp.compact_inputs_mm(sc, a, b)
-    mn = np.int32(sc.dp_floor(False))
+    mn = np.int32(sc.dp_floor(is_sw))
+    if inline:
+        acp, bcp = dp.compact_inputs_mm(sc, a, b)
+    else:
+        acp, bcp = ac, bc
     dirs, m, corner = pallas_fill_dirs(
-        jnp.asarray(acm), jnp.asarray(bcm), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(acp), jnp.asarray(bcp), jnp.asarray(na), jnp.asarray(nb),
         jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
-        mn, is_sw=False, emit_m=False, use_f32=True, interpret=True,
-        bs=8, unroll=4, inline_mm=True, match=sc.match, mismatch=sc.mismatch,
-        nsg=nsg, neg=neg,
+        mn, is_sw=is_sw, emit_m=is_sw, use_f32=True, interpret=True,
+        bs=8, unroll=4, inline_mm=inline, match=sc.match,
+        mismatch=sc.mismatch, nsg=nsg, neg=neg,
     )
-    geo = pack_geometry(LA, LB, bs=8, inline=True)
+    geo = pack_geometry(LA, LB, bs=8, inline=inline)
     dirs_np = np.asarray(dirs)
+    m_np = np.asarray(m) if m is not None else None
     ref = dp.dp_fill(
         jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
         jnp.asarray(subK), jnp.asarray(imK), np.int32(sc.gap_open),
-        np.int32(sc.gap_extend), mn, is_sw=False, nsg=nsg, neg=neg,
-        nga=False, ngb=False, nmm=False, emit_dirs=True, emit_m=False,
+        np.int32(sc.gap_extend), mn, is_sw=is_sw, nsg=nsg, neg=neg,
+        nga=False, ngb=False, nmm=False, emit_dirs=True, emit_m=is_sw,
         emit_gab=False,
     )
     xd = np.asarray(ref.dirs)
+    xm = np.asarray(ref.mmat) if is_sw else None
     for j in range(B):
         pd = unpack_pair_plane(dirs_np, j, geo["BS"], geo["P"], LB,
                                geo["D"], ilv=geo["ILV"])
@@ -316,8 +326,15 @@ def test_pallas_dirs_free_gap_modes(nsg, neg):
             np.testing.assert_array_equal(
                 pd[r0:r0 + naj, y], xd[j][r0:r0 + naj, y],
                 err_msg=f"dirs pair {j} y={y} nsg={nsg} neg={neg}")
-        np.testing.assert_array_equal(np.asarray(corner)[j],
-                                      np.asarray(ref.corner)[j])
+            if is_sw:
+                pm = unpack_pair_plane(m_np, j, geo["BS"], geo["P"], LB,
+                                       geo["D"], ilv=geo["ILV"])
+                np.testing.assert_array_equal(
+                    pm[r0:r0 + naj, y], xm[j][r0:r0 + naj, y],
+                    err_msg=f"M pair {j} y={y}")
+        if not is_sw:
+            np.testing.assert_array_equal(np.asarray(corner)[j],
+                                          np.asarray(ref.corner)[j])
 
 
 def test_aligner_free_gap_modes_interpret(monkeypatch):

@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--bs", type=int, default=128)
     ap.add_argument("--xla", action="store_true", help="bench the XLA path")
     ap.add_argument("--inline", action="store_true",
-                    help="in-kernel match/mismatch scoring (requires P==1)")
+                    help="in-kernel match/mismatch scoring (mm codes)")
     args = ap.parse_args()
 
     import jax
