@@ -290,6 +290,56 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     return planes, m_part, corner_np, na, nb, geo
 
 
+def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                      chunk: int, mins=None):
+    """Try the chunked Pallas dirs fill for long pairs (boundary-column
+    carry on device; equality scoring only).  Returns (per-pair dirs-slab
+    builder, m_part, corner, na, nb) or None for the XLA chunked path."""
+    from .ops import dp
+
+    if not (_pallas_eligible(sc) and dp.mm_eligible(sc)):
+        return None
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    if min(na.min(initial=1), nb.min(initial=1)) < 1:
+        return None
+    lb = max(_pallas_pad_floor(), dp._next_pow2(b.shape[1]))
+    # lanes bound |b|; SW without a pruning hint also fetches the packed M
+    # chunks, so it keeps a tighter bound
+    lim = 8192 if (not is_sw or mins is not None) else 1024
+    if lb > lim:
+        return None
+    from .ops.pallas_dp import f32_safe, fill_dirs_long, unpack_pair_plane
+
+    b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
+    ac, bc = dp.compact_inputs_mm(sc, a, b)
+    dirs_chunks, m_part, corner, geo = fill_dirs_long(
+        ac, bc, na, nb, np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
+        match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
+        chunk=chunk, nsg=sc.no_start_gap_penalty,
+        # f32 exactness bound must cover the FULL global path length
+        neg=sc.no_end_gap_penalty, use_f32=f32_safe(sc, a.shape[1], lb),
+        interpret=_pallas_mode() == "interpret",
+        bs=_pallas_dirs_bs(len(seqs_a), lb), extract_min=mins,
+    )
+    D_c = chunk + lb - 1
+
+    def slabs(j, chunks):
+        return [unpack_pair_plane(ch, j, geo["BS"], geo["P"], lb, D_c,
+                                  ilv=geo["ILV"]) for ch in chunks]
+
+    def dirs_for(j):
+        return slabs(j, dirs_chunks)
+
+    def m_for(j):
+        return slabs(j, m_part)
+
+    mp = m_part if (is_sw and mins is not None) else (
+        m_for if is_sw else None)
+    return dirs_for, mp, corner, na, nb
+
+
 def _buckets(seqs_a, seqs_b):
     """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
     pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
@@ -369,10 +419,19 @@ class NeedlemanWunsch:
     def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048) -> Alignment:
         """Long-sequence global alignment: chunked fill with boundary-column
         carry (device memory O(chunk * len_b)); traceback walks the streamed
-        per-chunk direction codes."""
+        per-chunk direction codes.  Equality-scoring configs run the carry
+        through the Pallas dirs kernel (fill_dirs_long); matrix scoring
+        takes the XLA chunked scan."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, nw_traceback
 
+        fast = _pallas_long_fill(self.scoring, [seq_a], [seq_b],
+                                 is_sw=False, chunk=chunk)
+        if fast is not None:
+            dirs_for, _, corner, na, nb = fast
+            dirs = ChunkedDirs(dirs_for(0), chunk)
+            return nw_traceback(seq_a, seq_b, int(na[0]), int(nb[0]), dirs,
+                                corner[0])
         corner, _, dirs_chunks, _, na, nb = dp.fill_chunked(
             self.scoring, [seq_a], [seq_b], is_sw=False, chunk=chunk,
             emit_dirs=True,
@@ -517,10 +576,27 @@ class SmithWaterman:
         """Long-sequence local multi-hit alignment via the chunked fill.
         With ``min_score``, the streaming mode: per-chunk on-device
         candidate harvest, M slabs never materialized on host — memory is
-        O(dirs + candidates), bounded for giant pairs."""
+        O(dirs + candidates), bounded for giant pairs.  Equality-scoring
+        configs run the carry through the Pallas dirs kernel."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, ChunkedM, SwHitIterator
 
+        fast = _pallas_long_fill(
+            self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,
+            mins=None if min_score is None else [min_score])
+        if fast is not None:
+            dirs_for, mp, _, na, nb = fast
+            if min_score is not None:
+                return SwHitIterator(
+                    self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
+                    ChunkedDirs(dirs_for(0), chunk),
+                    history=self.history, candidates=mp[0],
+                )
+            return SwHitIterator(
+                self.scoring, seq_a, seq_b, int(na[0]), int(nb[0]),
+                ChunkedDirs(dirs_for(0), chunk),
+                ChunkedM(mp(0), chunk), history=self.history,
+            )
         _, _, dirs_chunks, m_chunks, na, nb = dp.fill_chunked(
             self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,
             emit_dirs=True, emit_m=True, extract_min=min_score,

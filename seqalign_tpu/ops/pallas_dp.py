@@ -329,8 +329,31 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
 
 
 def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
-                 inline_mm=False, nsg=False, neg=False):
-    if inline_mm:
+                 inline_mm=False, nsg=False, neg=False, chunked=False,
+                 LA=None):
+    if chunked:
+        # Boundary-column carry (long-sequence decomposition,
+        # dp.fill_chunked's Pallas analog, requires inline_mm): the carried
+        # column x_local = 0 enters exactly where the kernel already
+        # injects the closed-form x=0 boundary — lane d-1 at diagonal d
+        # wants bcol[y=d], which IS the bcol vector's lane d-1 — so the
+        # carry is a vector select, no windows.  bcol_ref rows 0-2 hold
+        # M/Ga/Gb at lane l = y0 -> y = y0+1, rows 3-5 the same shifted one
+        # lane (y = y0; lane 0 = the (0, x_off) corner).  The chunk's last
+        # column x_local = LA accumulates into bout scratch (cell (y, LA)
+        # sits at lane y0 = d - LA - 1 on diagonal d) and is emitted for
+        # the next chunk's bcol.  xoff_ref holds the chunk's global x
+        # offset (drives the row-0 gap runs, corner hits, and neg's
+        # last-column lane).
+        (aw_ref, bl_ref, bcol_ref, nabl_ref, drange_ref, scal_ref,
+         xoff_ref,
+         dirs_ref, m_ref, corn_ref, bout_ref,
+         sm_ref, sga_ref, sgb_ref,
+         hm_ref, hga_ref, hgb_ref,
+         h2m_ref, h2ga_ref, h2gb_ref,
+         cm_ref, cga_ref, cgb_ref,
+         av_ref, bom_ref, boga_ref, bogb_ref) = refs
+    elif inline_mm:
         # equality scoring computed in-kernel (see _kernel): aw_ref carries
         # this block's entering a-codes, av_ref the rolling sheared codes
         (aw_ref, bl_ref, nabl_ref, drange_ref, scal_ref,
@@ -390,11 +413,14 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         return s
 
     zero_dt = jnp.zeros((), dt)
+    xoff = xoff_ref[0] if chunked else 0
 
     def drun(d):
+        """Row-0 boundary gap run at GLOBAL x = xoff + d (and the y-run for
+        the unchunked col-0 inject, where xoff is 0)."""
         if nsg:  # free start gaps: boundary runs cost 0 (alignment.c:59-81)
             return zero_dt
-        dv = jnp.asarray(d, i32)
+        dv = jnp.asarray(d, i32) + xoff
         return go + (dv.astype(dt) * ge if dt != i32 else dv * ge)
 
     @pl.when(dk == 0)
@@ -407,7 +433,31 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                 av_ref[...] = jnp.concatenate([a0, pad], axis=1)
             else:
                 av_ref[...] = jnp.where(y0 == 0, a0, jnp.int32(PADA))
-        if is_sw:
+        if chunked:
+            # carried-column init: S(1) lane0 = cell (1, x_off) = bcol[1];
+            # SH(1) = shift of it with the row-0 closed form at x_off+1;
+            # SH(0) lane0 = the (0, x_off) corner (shifted bcol lane 0).
+            # base = mn (0 for SW, sentinel for NW — scal already holds it)
+            bcM_u, bcGa_u, bcGb_u = (bcol_ref[0, r] for r in range(3))
+            bcM_s, bcGa_s, bcGb_s = (bcol_ref[0, r] for r in range(3, 6))
+            s1m = jnp.where(bstart, bcM_u, mn)
+            s1ga = jnp.where(bstart, bcGa_u, mn)
+            s1gb = jnp.where(bstart, bcGb_u, mn)
+            sm_ref[...] = s1m
+            sga_ref[...] = s1ga
+            sgb_ref[...] = s1gb
+            f_gb = zero_dt if is_sw else drun(1)
+            hm_ref[...] = shift(s1m, mn)
+            hga_ref[...] = shift(s1ga, mn)
+            hgb_ref[...] = shift(s1gb, f_gb)
+            h2m_ref[...] = jnp.where(bstart, bcM_s, mn)
+            h2ga_ref[...] = jnp.where(bstart, bcGa_s, mn)
+            h2gb_ref[...] = jnp.where(bstart, bcGb_s, mn)
+            mnv = zero + mn
+            bom_ref[...] = mnv
+            boga_ref[...] = mnv
+            bogb_ref[...] = mnv
+        elif is_sw:
             for r in (sm_ref, sga_ref, sgb_ref, hm_ref, hga_ref, hgb_ref,
                       h2m_ref, h2ga_ref, h2gb_ref):
                 r[...] = zero
@@ -461,6 +511,9 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             win = aw_ref[0, 0]
             mt = scal_ref[3]
             mm = scal_ref[4]
+        if chunked:
+            bcM_u, bcGa_u, bcGb_u = (bcol_ref[0, r] for r in range(3))
+            bom, boga, bogb = bom_ref[...], boga_ref[...], bogb_ref[...]
         for k in range(K):
             d = d0 + k
             if inline_mm:
@@ -483,7 +536,7 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                 # / last row (GAP_B), folded into the summands so both the
                 # fill values AND the direction-code equalities below see
                 # them (alignment.c:128-155, 265-268)
-                lastcol = y0 == (d - 1 - nal)
+                lastcol = y0 == (d + xoff - 1 - nal)
                 a_open = jnp.where(lastcol, zero_dt, gop)
                 a_ext = jnp.where(lastcol, zero_dt, ge)
                 b_open = jnp.where(lane_nb, zero_dt, gop)
@@ -520,7 +573,13 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
 
             if inject_col0:
                 at0 = y0 == (d - 1)
-                if is_sw:
+                if chunked:
+                    # carried column: cell (d, x_off) = bcol[y = d], which
+                    # sits at exactly lane d-1 of the bcol vectors
+                    Mv = jnp.where(at0, bcM_u, Mv)
+                    ga_v = jnp.where(at0, bcGa_u, ga_v)
+                    gb_v = jnp.where(at0, bcGb_u, gb_v)
+                elif is_sw:
                     Mv = jnp.where(at0, zero_dt, Mv)
                     ga_v = jnp.where(at0, zero_dt, ga_v)
                     gb_v = jnp.where(at0, zero_dt, gb_v)
@@ -529,8 +588,21 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                     ga_v = jnp.where(at0, drun(d), ga_v)
                     gb_v = jnp.where(at0, mn, gb_v)
 
+            if chunked:
+                # capture the chunk's last column x_local = LA for the next
+                # chunk's bcol: cell (y, LA) sits at lane y0 = d - LA - 1
+                selb = y0 == (d - LA - 1)
+                bom = jnp.where(selb, Mv, bom)
+                boga = jnp.where(selb, ga_v, boga)
+                bogb = jnp.where(selb, gb_v, bogb)
+
             if not is_sw:
-                hit = (nal + nbl) == d
+                hit = (nal + nbl) == (d + xoff)
+                if chunked:
+                    # only the chunk containing global x = na owns the
+                    # corner (other chunks' matching diagonals hold
+                    # out-of-range lanes)
+                    hit = hit & (nal > xoff) & (nal <= xoff + LA)
                 sel = lane_nb & hit
                 cm = jnp.where(sel, Mv, cm)
                 cga = jnp.where(sel, ga_v, cga)
@@ -555,6 +627,8 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         h2m_ref[...], h2ga_ref[...], h2gb_ref[...] = m2s, ga2s, gb2s
         if inline_mm:
             av_ref[...] = av
+        if chunked:
+            bom_ref[...], boga_ref[...], bogb_ref[...] = bom, boga, bogb
         if not is_sw:
             cm_ref[...], cga_ref[...], cgb_ref[...] = cm, cga, cgb
 
@@ -565,6 +639,13 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     @pl.when(d0 > LBt + K)
     def _without_inject():
         sweep(False)
+
+    if chunked:
+        @pl.when(dk == DK - 1)
+        def _emit_bout():
+            bout_ref[0, 0] = bom_ref[...]
+            bout_ref[0, 1] = boga_ref[...]
+            bout_ref[0, 2] = bogb_ref[...]
 
     if not is_sw:
         @pl.when(dk == DK - 1)
@@ -785,17 +866,28 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     return out[:B].astype(jnp.int32)
 
 
+def _pack_lanes(v, nB, BS, P, ilv):
+    """(Bp, LBt) per-pair values -> (nB, BS, LN) in the kernel's lane
+    layout (block: pair-contiguous; ilv: interleaved)."""
+    LBt = v.shape[1]
+    v = v.reshape(nB, BS, P, LBt)
+    if ilv:
+        v = v.transpose(0, 1, 3, 2)
+    return v.reshape(nB, BS, P * LBt)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "use_f32", "ss8", "inline_mm", "nsg", "neg"),
+                     "use_f32", "ss8", "inline_mm", "nsg", "neg", "chunked"),
 )
 def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      *, is_sw: bool, emit_m: bool, interpret: bool = False,
                      unroll: int = 8, bs: int = 128, use_f32: bool = True,
                      ss8: bool = True, inline_mm: bool = False,
                      match=None, mismatch=None, nsg: bool = False,
-                     neg: bool = False):
+                     neg: bool = False, chunked: bool = False,
+                     x_off=None, bcol=None):
     """Batched full fill with packed direction codes on TPU via Pallas —
     the fast path behind ``dp.fill_batch(emit_dirs=True)`` for default
     scoring flags (other modes use the XLA scan).
@@ -828,9 +920,13 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     nB = Bp // (BS * P)
 
     Ka, Kb = subK.shape
+    if chunked:
+        assert inline_mm, "chunked Pallas fills require inline_mm scoring"
+        x_off32 = jnp.asarray(x_off, jnp.int32).reshape(1)
     if inline_mm:
+        abound = na[:, None] - (x_off32[0] if chunked else 0)
         ac = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < abound,
             ac, PADA,
         )
         bc = jnp.where(
@@ -903,6 +999,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
         DK=DK, dt=dt, inline_mm=inline_mm, nsg=nsg, neg=neg,
+        chunked=chunked, LA=LA,
     )
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
     mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m
@@ -916,34 +1013,54 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
         scratch = [pltpu.VMEM((BS, LN), dt)] * 12 + [
             pltpu.VMEM((BS, LN), jnp.int32)
         ]
+        if chunked:
+            first_specs.append(
+                pl.BlockSpec((1, 6, BS, LN), lambda i, d: (i, 0, 0, 0)))
+            first_args = (aw, bl, bcol)
+            scratch = scratch + [pltpu.VMEM((BS, LN), dt)] * 3
     else:
         first_specs = [
             pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
         ]
         first_args = (ss,)
         scratch = [pltpu.VMEM((BS, LN), dt)] * 12
-    dirs, m, corn = pl.pallas_call(
+    mid_specs = [
+        pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    mid_args = (nabl, drange, scal)
+    out_specs = [
+        pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1 if not emit_m else K, 8 if not emit_m
+                      else BS, 128 if not emit_m else LN), mmap),
+        pl.BlockSpec((1, 3, BS, LN), lambda i, d: (i, 0, 0, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nB, DK, K, BS, LN), jnp.uint8),
+        jax.ShapeDtypeStruct(mshape, jnp.int32),
+        jax.ShapeDtypeStruct((nB, 3, BS, LN), dt),
+    ]
+    if chunked:
+        mid_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        mid_args = (nabl, drange, scal, x_off32)
+        out_specs.append(pl.BlockSpec((1, 3, BS, LN),
+                                      lambda i, d: (i, 0, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((nB, 3, BS, LN), dt))
+    outs = pl.pallas_call(
         kernel,
         grid=(nB, DK),
-        in_specs=first_specs + [
-            pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 1 if not emit_m else K, 8 if not emit_m
-                          else BS, 128 if not emit_m else LN), mmap),
-            pl.BlockSpec((1, 3, BS, LN), lambda i, d: (i, 0, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nB, DK, K, BS, LN), jnp.uint8),
-            jax.ShapeDtypeStruct(mshape, jnp.int32),
-            jax.ShapeDtypeStruct((nB, 3, BS, LN), dt),
-        ),
+        in_specs=first_specs + mid_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*first_args, nabl, drange, scal)
+    )(*first_args, *mid_args)
+    if chunked:
+        dirs, m, corn, bout = outs
+    else:
+        dirs, m, corn = outs
+        bout = None
     dirs = dirs.reshape(nB, DK * K, BS, LN)
     m_out = m.reshape(nB, DK * K, BS, LN) if emit_m else None
     corner = None
@@ -961,7 +1078,135 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
             c = c.max(axis=4)
         corner = (c.transpose(0, 2, 3, 1).reshape(Bp, 3)[:B]
                   .astype(jnp.int32))
+    if chunked:
+        return dirs, m_out, corner, bout
     return dirs, m_out, corner
+
+
+@functools.partial(jax.jit, static_argnames=("SH", "is_sw", "nsg"))
+def _next_bcol(bout, x_next, gap_open, gap_extend, mn_val, *, SH, is_sw,
+               nsg):
+    """Compose the next chunk's bcol input from the emitted boundary
+    column: rows 0-2 = bout (lane y0 -> y = y0+1), rows 3-5 the SH-lane
+    shift with the (0, x_next) row-0 corner entering (alignment.c:59-81)."""
+    nB, _, BS, LN = bout.shape
+    dt = bout.dtype
+    if is_sw:
+        cm = cga = cgb = jnp.zeros((), dt)
+    else:
+        cm = cga = jnp.asarray(mn_val, dt)
+        run = (jnp.zeros((), dt) if nsg
+               else (gap_open + x_next * gap_extend).astype(dt))
+        cgb = run
+
+    def sh(v, c):
+        head = jnp.broadcast_to(jnp.asarray(c, dt), (nB, BS, SH))
+        return jnp.concatenate([head, v[:, :, : LN - SH]], axis=-1)
+
+    shifted = jnp.stack(
+        [sh(bout[:, 0], cm), sh(bout[:, 1], cga), sh(bout[:, 2], cgb)],
+        axis=1)
+    return jnp.concatenate([bout, shifted], axis=1)
+
+
+def fill_dirs_long(ac, bc, na, nb, gap_open, gap_extend, mn, *,
+                   is_sw: bool, emit_m: bool, match, mismatch,
+                   chunk: int = 2048, nsg: bool = False, neg: bool = False,
+                   use_f32: bool = True, interpret: bool = False,
+                   bs: int = 8, unroll: int = 8, extract_min=None):
+    """Long-sequence Pallas traceback fill: seq_a chunked into ``chunk``
+    columns, the boundary column carried ON DEVICE between chunk fills
+    (the XLA ``dp.fill_chunked``'s fast analog for equality scoring —
+    requires compact_inputs_mm codes; lanes still bound |b| <= ~8192).
+
+    Returns ``(dirs_chunks, m_part, corner, geo)``:
+      dirs_chunks: per-chunk packed (nB, DKK, BS, LN) uint8 host arrays
+        (local-diagonal layout; unpack with :func:`unpack_pair_plane`);
+      m_part: with ``extract_min``, per-pair merged (flats, scores)
+        candidate lists (M never fetched); else per-chunk packed int32
+        host arrays, or None;
+      corner: (B, 3) int32 (NW), else None; geo: pack_geometry dict.
+    """
+    from . import dp  # host-side helpers (no cycle at import time)
+
+    B, LAfull = ac.shape
+    _, LBt = bc.shape
+    CA = chunk
+    nchunks = max(1, -(-LAfull // CA))
+    geo = pack_geometry(CA, LBt, bs=bs, inline=True)
+    P, BS = geo["P"], geo["BS"]
+    SHl = P if geo["ILV"] else 1
+    Bp = -(-B // (BS * P)) * (BS * P)
+    dt = jnp.float32 if use_f32 else jnp.int32
+    mn_val = (-np.inf if (use_f32 and not is_sw) else float(mn))
+
+    ac = np.pad(np.asarray(ac), ((0, Bp - B), (0, nchunks * CA - LAfull)))
+    bc = np.pad(np.asarray(bc), ((0, Bp - B), (0, 0)))
+    na_p = np.pad(np.asarray(na), (0, Bp - B), constant_values=1)
+    nb_p = np.pad(np.asarray(nb), (0, Bp - B), constant_values=1)
+    naj, nbj = jnp.asarray(na_p), jnp.asarray(nb_p)
+    bcj = jnp.asarray(bc)
+
+    # initial bcol: the x = 0 closed-form column (alignment.c:51-81)
+    y = np.arange(LBt + 1, dtype=np.float64)
+    if is_sw:
+        colM = colGa = colGb = np.zeros(LBt + 1)
+    else:
+        runy = np.zeros(LBt + 1) if nsg else gap_open + y * gap_extend
+        colM = np.where(y == 0, 0.0, mn_val)
+        colGa = np.where(y == 0, 0.0, runy)
+        colGb = np.where(y == 0, 0.0, mn_val)
+    nBc = Bp // (BS * P)
+
+    def pack(col_slice):
+        v = np.broadcast_to(col_slice, (Bp, LBt)).astype(
+            np.float32 if use_f32 else np.int32)
+        return np.asarray(_pack_lanes(jnp.asarray(v), nBc, BS, P,
+                                      geo["ILV"]))
+
+    rows = [pack(c[1:]) for c in (colM, colGa, colGb)]
+    rows += [pack(c[:LBt]) for c in (colM, colGa, colGb)]
+    bcol = jnp.asarray(np.stack(rows, axis=1))  # (nB, 6, BS, LN)
+
+    dirs_chunks = []
+    m_chunks = []
+    cands = [([], []) for _ in range(B)] if extract_min is not None else None
+    corner = None
+    godt, gedt = jnp.asarray(gap_open, dt), jnp.asarray(gap_extend, dt)
+    for c in range(nchunks):
+        acc = jnp.asarray(ac[:, c * CA:(c + 1) * CA])
+        dirs, m, corner_c, bout = pallas_fill_dirs(
+            acc, bcj, naj, nbj, np.zeros((8, 8), np.int32),
+            gap_open, gap_extend, mn, is_sw=is_sw, emit_m=emit_m,
+            inline_mm=True, chunked=True, x_off=np.int32(c * CA),
+            bcol=bcol, match=match, mismatch=mismatch, nsg=nsg, neg=neg,
+            use_f32=use_f32, interpret=interpret, bs=bs, unroll=unroll,
+        )
+        dirs_chunks.append(np.asarray(dirs))
+        if emit_m:
+            if extract_min is not None:
+                planes = packed_to_pair_planes(m, BS, P, LBt,
+                                               ilv=geo["ILV"])[:B]
+                for i, (fl, sv) in enumerate(dp.sw_extract_candidates(
+                        planes, na, nb, extract_min, x_off=c * CA)):
+                    cands[i][0].append(fl)
+                    cands[i][1].append(sv)
+            else:
+                m_chunks.append(np.asarray(m))
+        if corner_c is not None:
+            cc = np.asarray(corner_c)[:B]
+            corner = cc if corner is None else np.maximum(corner, cc)
+        if c + 1 < nchunks:
+            bcol = _next_bcol(bout, jnp.asarray((c + 1) * CA, dt), godt,
+                              gedt, mn_val, SH=SHl, is_sw=is_sw, nsg=nsg)
+
+    if extract_min is not None:
+        m_part = [(np.concatenate(f), np.concatenate(s)) for f, s in cands]
+    elif emit_m:
+        m_part = m_chunks
+    else:
+        m_part = None
+    return dirs_chunks, m_part, corner, geo
 
 
 def pack_geometry(LA: int, LBt: int, bs: int = 128,

@@ -361,6 +361,52 @@ def test_aligner_free_gap_modes_interpret(monkeypatch):
         assert got == want, (nsg, neg)
 
 
+@pytest.mark.parametrize("chunk", [16, 24])
+def test_pallas_long_fill_nw(monkeypatch, chunk):
+    """align_long through the chunked Pallas dirs kernel (boundary-column
+    carry on device) must equal the one-shot host alignment exactly."""
+    from seqalign_tpu.aligners import NeedlemanWunsch
+    from seqalign_tpu.ops import host_dp
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(chunk)
+    a = "".join(rng.choice(list("acgtACGT"), 70))
+    b = "".join(rng.choice(list("acgt"), 40))
+    nw = NeedlemanWunsch()
+    got = nw.align_long(a, b, chunk=chunk)
+    want = host_dp.nw_align(nw.scoring, a, b)
+    assert (got.result_a, got.result_b, got.score) == \
+        (want.result_a, want.result_b, want.score)
+
+
+@pytest.mark.parametrize("min_score", [None, 5])
+def test_pallas_long_fill_sw(monkeypatch, min_score):
+    from seqalign_tpu.aligners import SmithWaterman
+    from seqalign_tpu.ops import host_dp
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(41)
+    a = "".join(rng.choice(list("acgt"), 80))
+    b = "".join(rng.choice(list("acgt"), 50))
+    sw = SmithWaterman()
+    it = sw.align_long(a, b, chunk=24, min_score=min_score)
+    host = host_dp.HostSwHits(sw.scoring, a, b)
+    got = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b) for h in it]
+    want = []
+    while True:
+        h = host.fetch()
+        if h is None or (min_score is not None and h.score < min_score):
+            break
+        want.append((h.score, h.pos_a, h.pos_b, h.result_a, h.result_b))
+    if min_score is None:
+        assert got == want
+    else:
+        assert got[: len(want)] == want
+        assert all(g[0] >= min_score for g in got)
+
+
 def test_pallas_scores_wide_lbt():
     """LBt beyond TL=512 (one pair spans the whole row) — bit-exact on real
     TPU up to LBt=4096 (measured); interpret mode pins the wiring, and
