@@ -61,6 +61,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
         TL, f32_safe, pallas_fill_dirs, pallas_scores,
     )
 
+    interp = jax.default_backend() == "cpu"  # CI smoke: interpret mode
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
     mn = np.int32(sc.dp_floor(is_sw))
     lut = np.frombuffer(b"acgt", dtype=np.uint8)
@@ -95,7 +96,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
                 if kind == "scores":
                     s = pallas_scores(
                         aa, bc, na, nb, subK, imK, go, ge, mn, is_sw=is_sw,
-                        use_f32=f32, inline_mm=inline,
+                        use_f32=f32, inline_mm=inline, interpret=interp,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
                         unroll=16 if inline and L <= 512 else 8,
@@ -105,6 +106,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
                     d, m, corner = pallas_fill_dirs(
                         aa, bc, na, nb, subK, go, ge, mn, is_sw=is_sw,
                         emit_m=is_sw, use_f32=f32, inline_mm=inline,
+                        interpret=interp,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
                     )
@@ -121,6 +123,12 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
 
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the dev-machine hook writes jax_platforms=axon,cpu straight into
+        # the config; honor an explicit CPU request even then (and avoid
+        # touching a wedged tunnel at all)
+        jax.config.update("jax_platforms", "cpu")
 
     from seqalign_tpu.scoring.presets import (
         scoring_system_default,
@@ -176,9 +184,33 @@ def main():
     }))
 
 
+def _fail_line(msg: str):
+    print(json.dumps({
+        "metric": "nw_fill_throughput",
+        "value": 0.0,
+        "unit": "GCUPS",
+        "vs_baseline": 0.0,
+        "error": msg[:200],
+    }), flush=True)
+
+
 def main_with_retry():
-    # the axon tunnel occasionally wedges; one retry with a fresh process
-    # state is usually enough, and the driver always needs a JSON line
+    # The axon tunnel occasionally wedges — sometimes as an exception,
+    # sometimes as a silent hang inside a C call (backend init, result
+    # fetch) that no Python signal can interrupt.  The driver always needs
+    # a JSON line, so a daemon watchdog THREAD prints the failure line and
+    # hard-exits if the bench outlives its budget.
+    import threading
+
+    budget = int(os.environ.get("SEQALIGN_BENCH_TIMEOUT", "900"))
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(budget):
+            _fail_line("bench watchdog: device wedged past %ds" % budget)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
         main()
     except Exception as e:  # noqa: BLE001
@@ -187,13 +219,8 @@ def main_with_retry():
             time.sleep(20)
             main()
         except Exception as e2:  # noqa: BLE001
-            print(json.dumps({
-                "metric": "nw_fill_throughput",
-                "value": 0.0,
-                "unit": "GCUPS",
-                "vs_baseline": 0.0,
-                "error": str(e2)[:200],
-            }))
+            _fail_line(str(e2))
+    done.set()
 
 
 if __name__ == "__main__":
