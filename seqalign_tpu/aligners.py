@@ -340,6 +340,18 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     return dirs_for, mp, corner, na, nb
 
 
+def _long_subbuckets(idx, seqs_b):
+    """Group a long-pair bucket by pow2 |b| so one chunked fill serves each
+    group without cross-pair lane-padding waste."""
+    from .ops import dp
+
+    groups = {}
+    for i in idx:
+        groups.setdefault(dp._next_pow2(max(1, len(seqs_b[i]))),
+                          []).append(i)
+    return [groups[k] for k in sorted(groups)]
+
+
 def _buckets(seqs_a, seqs_b):
     """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
     pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
@@ -378,13 +390,26 @@ class NeedlemanWunsch:
 
     def _align_batch_device(self, seqs_a, seqs_b) -> List[Alignment]:
         from .ops import dp
-        from .ops.traceback import nw_traceback
+        from .ops.traceback import ChunkedDirs, nw_traceback
 
         results: List[Optional[Alignment]] = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
             if key is None:  # long pairs: chunked boundary-carry path
-                for i in idx:
-                    results[i] = self.align_long(seqs_a[i], seqs_b[i])
+                for sub in _long_subbuckets(idx, seqs_b):
+                    ga = [seqs_a[i] for i in sub]
+                    gb = [seqs_b[i] for i in sub]
+                    fast = _pallas_long_fill(self.scoring, ga, gb,
+                                             is_sw=False, chunk=2048)
+                    if fast is not None:
+                        dirs_for, _, corner, na, nb = fast
+                        for j, i in enumerate(sub):
+                            results[i] = nw_traceback(
+                                ga[j], gb[j], int(na[j]), int(nb[j]),
+                                ChunkedDirs(dirs_for(j), 2048), corner[j])
+                    else:
+                        for i in sub:
+                            results[i] = self.align_long(seqs_a[i],
+                                                         seqs_b[i])
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]
@@ -516,10 +541,38 @@ class SmithWaterman:
             mins = None if min_scores is None else [min_scores[i]
                                                    for i in idx]
             if key is None:  # long pairs: chunked boundary-carry path
-                for j, i in enumerate(idx):
-                    results[i] = self.align_long(
-                        seqs_a[i], seqs_b[i],
-                        min_score=None if mins is None else mins[j])
+                for sub in _long_subbuckets(idx, seqs_b):
+                    ga = [seqs_a[i] for i in sub]
+                    gb = [seqs_b[i] for i in sub]
+                    msub = None if min_scores is None else \
+                        [min_scores[i] for i in sub]
+                    fast = _pallas_long_fill(self.scoring, ga, gb,
+                                             is_sw=True, chunk=2048,
+                                             mins=msub)
+                    if fast is not None:
+                        dirs_for, mp, _, na, nb = fast
+                        from .ops.traceback import ChunkedDirs, ChunkedM
+                        for j, i in enumerate(sub):
+                            if msub is not None:
+                                results[i] = SwHitIterator(
+                                    self.scoring, ga[j], gb[j],
+                                    int(na[j]), int(nb[j]),
+                                    ChunkedDirs(dirs_for(j), 2048),
+                                    history=self.history,
+                                    candidates=mp[j])
+                            else:
+                                results[i] = SwHitIterator(
+                                    self.scoring, ga[j], gb[j],
+                                    int(na[j]), int(nb[j]),
+                                    ChunkedDirs(dirs_for(j), 2048),
+                                    ChunkedM(mp(j), 2048),
+                                    history=self.history)
+                    else:
+                        for j, i in enumerate(sub):
+                            results[i] = self.align_long(
+                                seqs_a[i], seqs_b[i],
+                                min_score=None if msub is None
+                                else msub[j])
                 continue
             ga = [seqs_a[i] for i in idx]
             gb = [seqs_b[i] for i in idx]

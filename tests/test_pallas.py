@@ -407,6 +407,47 @@ def test_pallas_long_fill_sw(monkeypatch, min_score):
         assert all(g[0] >= min_score for g in got)
 
 
+def test_pallas_long_bucket_batched(monkeypatch):
+    """The long-pair bucket batches through one chunked Pallas fill per
+    |b| group; alignments and hit streams must equal the host path."""
+    import seqalign_tpu.aligners as al
+    from seqalign_tpu.ops import host_dp
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    monkeypatch.setattr(al, "LONG_PAIR_CELLS", 600)
+    rng = np.random.default_rng(3)
+    seqs_a = ["".join(rng.choice(list("acgt"), rng.integers(25, 60)))
+              for _ in range(4)]
+    seqs_b = ["".join(rng.choice(list("acgt"), rng.integers(25, 60)))
+              for _ in range(4)]
+    nw = al.NeedlemanWunsch()
+    got = nw.align_batch(seqs_a, seqs_b)
+    want = [host_dp.nw_align(nw.scoring, a, b)
+            for a, b in zip(seqs_a, seqs_b)]
+    assert got == want
+    sw = al.SmithWaterman()
+    its = sw.align_batch(seqs_a, seqs_b, min_scores=[4] * 4)
+    for it, a, b in zip(its, seqs_a, seqs_b):
+        host = host_dp.HostSwHits(sw.scoring, a, b)
+        hit_got = [(h.score, h.pos_a, h.pos_b, h.result_a) for h in it]
+        hit_want = []
+        while True:
+            h = host.fetch()
+            if h is None or h.score < 4:
+                break
+            hit_want.append((h.score, h.pos_a, h.pos_b, h.result_a))
+        assert hit_got[: len(hit_want)] == hit_want
+        assert all(g[0] >= 4 for g in hit_got)
+    its2 = sw.align_batch(seqs_a, seqs_b)
+    for it, a, b in zip(its2, seqs_a, seqs_b):
+        host = list(host_dp.HostSwHits(sw.scoring, a, b))
+        got2 = [(h.score, h.pos_a, h.pos_b, h.result_a) for h in it]
+        assert got2 == [(h.score, h.pos_a, h.pos_b, h.result_a)
+                        for h in host]
+
+
 def test_pallas_scores_wide_lbt():
     """LBt beyond TL=512 (one pair spans the whole row) — bit-exact on real
     TPU up to LBt=4096 (measured); interpret mode pins the wiring, and
