@@ -130,27 +130,42 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         if inline:
             ac, bc = dp.compact_inputs_mm(sc, a, b)
             subK = imK = _DUMMY_TABLE
+            lut = 0
         else:
             ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
-        out = pallas_scores(
-            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
-            jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK),
-            np.int32(sc.gap_open), np.int32(sc.gap_extend),
-            np.int32(sc.dp_floor(is_sw)), is_sw=is_sw,
-            use_f32=f32_safe(sc, la, lb),
-            ss8=bool(np.abs(subK).max(initial=0) <= 127),
-            interpret=_pallas_mode() == "interpret",
-            bs=_pallas_bs(len(seqs_a), lb),
-            inline_mm=inline, match=np.int32(sc.match),
-            mismatch=np.int32(sc.mismatch),
-            nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
-            # short sweeps are grid-step-bound: deeper unroll halves the
-            # step count (measured +30% at L=128, neutral at L=512).  The
-            # unrolled temporaries live on the kernel's VMEM stack, so K=16
-            # only fits standard 512-lane rows (LBt=1024 overflowed by 24KB)
-            unroll=16 if inline and lb <= 512 else 8,
-        )
-        return np.asarray(out)
+            lut = _lut_k(subK)
+        try:
+            out = pallas_scores(
+                jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+                jnp.asarray(nb), jnp.asarray(subK), jnp.asarray(imK),
+                np.int32(sc.gap_open), np.int32(sc.gap_extend),
+                np.int32(sc.dp_floor(is_sw)), is_sw=is_sw,
+                use_f32=f32_safe(sc, la, lb),
+                ss8=bool(np.abs(subK).max(initial=0) <= 127),
+                interpret=_pallas_mode() == "interpret",
+                bs=_pallas_bs(len(seqs_a), lb, lut_k=lut),
+                inline_mm=inline, lut_k=lut, match=np.int32(sc.match),
+                mismatch=np.int32(sc.mismatch),
+                nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+                # short sweeps are grid-step-bound: deeper unroll halves
+                # the step count (measured +30% at L=128, neutral at
+                # L=512).  The unrolled temporaries live on the kernel's
+                # VMEM stack, so K=16 only fits standard 512-lane rows
+                # (LBt=1024 overflowed by 24KB)
+                unroll=16 if inline and lb <= 512 else 8,
+            )
+            return np.asarray(out)
+        except Exception:
+            # Mosaic compile/VMEM failures on untested width/alphabet
+            # combos degrade to the XLA scan; interpret mode re-raises so
+            # tests never mask a kernel bug.
+            if _pallas_mode() == "interpret":
+                raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas scores path failed; falling back to XLA",
+                exc_info=True)
     out, _, _ = dp.fill_batch(
         sc, seqs_a, seqs_b, is_sw=is_sw, emit_dirs=False, pow2_pad=True,
         validate=False,
@@ -160,7 +175,14 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     return np.asarray(out.corner).max(axis=1)
 
 
-def _pallas_bs(n_pairs: int, lbt: int) -> int:
+def _lut_k(subK) -> int:
+    """Chain length for the in-kernel LUT-scoring mode (pallas_dp lut_k):
+    the a-side alphabet after kpad rounding, or 0 (plane-streaming path)
+    when the select chain would outgrow its win over the HBM stream."""
+    return int(subK.shape[0]) if subK.shape[0] <= 16 else 0
+
+
+def _pallas_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:
     """Batch-chunk sublanes for the Pallas kernels: lane packing fits P
     pairs per vector row, so a full (bs, P*LBt) tile holds bs*P pairs —
     don't pad a small batch up to 128 sublanes' worth.  Power-of-two to
@@ -177,14 +199,16 @@ def _pallas_bs(n_pairs: int, lbt: int) -> int:
     if P > 1 and (lbt & (lbt - 1)) != 0:
         P = 1
     LN = P * lbt
-    cap = min(128, (8 << 20) // (LN * 40))
+    # lut mode parks lut_k static dt score planes in VMEM on top of the
+    # scratch — shrink the sublane chunk to keep residency in budget
+    cap = min(128, (8 << 20) // (LN * (40 + 4 * lut_k)))
     while cap & (cap - 1):
         cap &= cap - 1  # round down to a power of two
     need = -(-n_pairs // P)
     return max(8, min(cap, dp._next_pow2(need)))
 
 
-def _pallas_dirs_bs(n_pairs: int, lbt: int) -> int:
+def _pallas_dirs_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:
     """Batch-chunk sublanes for the dirs kernel: 13 VMEM state planes plus
     the K-deep dirs/M output blocks (~LN*(52 + 5K) bytes per sublane) under
     a ~6MB budget — measured working at 8192 lanes with bs 8."""
@@ -196,7 +220,9 @@ def _pallas_dirs_bs(n_pairs: int, lbt: int) -> int:
         P = 1
     LN = P * lbt
     budget = (12 << 20) if LN <= 1024 else (6 << 20)
-    cap = min(128, budget // (LN * 92))
+    # lut mode parks lut_k static dt score planes in VMEM on top of the
+    # 13 state planes
+    cap = min(128, budget // (LN * (92 + 4 * lut_k)))
     while cap & (cap - 1):
         cap &= cap - 1
     need = -(-n_pairs // P)
@@ -222,20 +248,7 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     floor = _pallas_pad_floor()
     la = max(floor, dp._next_pow2(a.shape[1]))
     lb = max(floor, dp._next_pow2(b.shape[1]))
-    # Envelope: the inline-mm kernel was measured bit-exact up to 8192
-    # lanes (VMEM fails past ~10k).  Without a pruning threshold, SW's
-    # emit_m int32 planes bound the host fetch at 1024 lanes; with device
-    # candidate extraction the M matrix never transfers, so SW gets the
-    # full envelope too.  The plane path's shear/pack compile explodes past
-    # 512 lanes, so matrix scoring keeps that limit.
-    inline = dp.mm_eligible(sc)
-    if not inline:
-        lim = 512
-    elif is_sw and mins is None:
-        lim = 1024
-    else:
-        lim = 8192
-    if lb > lim or la * lb > LONG_PAIR_CELLS:
+    if la * lb > LONG_PAIR_CELLS:
         return None
     import jax.numpy as jnp
 
@@ -245,26 +258,58 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 
     a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
     b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
+    inline = dp.mm_eligible(sc)
+    lut = 0
     if inline:  # in-kernel equality scoring (shared fold-canonical codes)
         ac, bc = dp.compact_inputs_mm(sc, a, b)
         subK = _DUMMY_TABLE
     else:
         ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
         del imK
-    bs = _pallas_dirs_bs(len(seqs_a), lb)
-    dirs, m, corner = pallas_fill_dirs(
-        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na), jnp.asarray(nb),
-        jnp.asarray(subK), np.int32(sc.gap_open), np.int32(sc.gap_extend),
-        np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
-        use_f32=f32_safe(sc, la, lb),
-        ss8=bool(np.abs(subK).max(initial=0) <= 127),
-        interpret=_pallas_mode() == "interpret",
-        bs=bs, inline_mm=inline, match=np.int32(sc.match),
-        mismatch=np.int32(sc.mismatch),
-        nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
-    )
-    geo = pack_geometry(la, lb, bs=bs, inline=inline)
-    dirs_np = np.asarray(dirs)
+        lut = _lut_k(subK)
+    # Envelope: the inline-mm kernel was measured bit-exact up to 8192
+    # lanes (VMEM fails past ~10k).  Without a pruning threshold, SW's
+    # emit_m int32 planes bound the host fetch at 1024 lanes; with device
+    # candidate extraction the M matrix never transfers, so SW gets the
+    # full envelope too.  The plane path's shear/pack compile explodes past
+    # 512 lanes, so large-alphabet matrix scoring keeps that limit; the
+    # in-kernel LUT mode avoids the shear but parks lut_k extra VMEM
+    # planes, so it takes a conservative half-envelope.
+    if not inline and lut == 0:
+        lim = 512
+    elif is_sw and mins is None:
+        lim = 1024
+    else:
+        lim = 8192 if inline else 4096
+    if lb > lim:
+        return None
+    bs = _pallas_dirs_bs(len(seqs_a), lb, lut_k=lut)
+    try:
+        dirs, m, corner = pallas_fill_dirs(
+            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+            jnp.asarray(nb), jnp.asarray(subK), np.int32(sc.gap_open),
+            np.int32(sc.gap_extend),
+            np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
+            use_f32=f32_safe(sc, la, lb),
+            ss8=bool(np.abs(subK).max(initial=0) <= 127),
+            interpret=_pallas_mode() == "interpret",
+            bs=bs, inline_mm=inline, lut_k=lut, match=np.int32(sc.match),
+            mismatch=np.int32(sc.mismatch),
+            nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+        )
+        geo = pack_geometry(la, lb, bs=bs, inline=inline or lut > 0)
+        dirs_np = np.asarray(dirs)
+    except Exception:
+        # Mosaic compile/VMEM failures on untested width/alphabet combos
+        # degrade to the XLA dirs scan; interpret mode re-raises so tests
+        # never mask a kernel bug.
+        if _pallas_mode() == "interpret":
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Pallas dirs path failed; falling back to XLA", exc_info=True)
+        return None
     corner_np = np.asarray(corner) if corner is not None else None
 
     def planes(j, _arr=dirs_np):

@@ -96,8 +96,9 @@ PADA, PADB = (1 << 20), (1 << 20) + 1  # inline-mm pad codes (never equal)
 
 
 def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
-            nsg=False, neg=False):
-    if inline_mm:
+            lut_k=0, nsg=False, neg=False):
+    inline = inline_mm or lut_k > 0
+    if inline:
         # Equality-scoring fast path: no substitution planes at all.  The
         # sheared a-codes vector lives in VMEM and advances one lane per
         # diagonal (a[d-1] enters at lane 0), and each diagonal's scores are
@@ -111,6 +112,16 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
         # step's entering a-codes (Mosaic cannot prove alignment of a
         # dynamic lane slice into a full a-codes row, so the windows are
         # pre-arranged host-side; K+1 lanes pad to one 128-lane tile)
+        #
+        # ``lut_k`` generalizes the same in-register scheme to ARBITRARY
+        # substitution matrices over small alphabets (wildcards, swaps,
+        # case, BLOSUM-style tables — alignment_scoring.c:96-133): the
+        # b-codes are static per lane, so the prologue bakes one VMEM
+        # plane per a-letter, pl[c][lane] = subK[c, b[lane]], and each
+        # diagonal's scores come from a lut_k-way select chain over the
+        # rolling a-codes — still no shear and no per-diagonal HBM
+        # stream.  bl_ref then holds the (lut_k, BS, LN) planes instead
+        # of the b-codes.
         (aw_ref, bl_ref, nabl_ref, drange_ref, scal_ref, out_ref,
          h_ref, hs_ref, es_ref, f_ref, hs2_ref, accv_ref, av_ref) = refs
     else:
@@ -133,7 +144,7 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
     # per-diagonal shift becomes a P-lane shift whose entering (BS, P)
     # block is the per-pair fill/a-codes, with NO cross-pair leakage (lane
     # l reads l-P, the same pair) and no boundary selects.
-    ilv = inline_mm and P > 1
+    ilv = inline and P > 1
     lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
     if ilv:
         y0 = lane // P
@@ -155,7 +166,7 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
     @pl.when(dk == 0)
     def _init():
         zero = jnp.zeros((BS, LN), dt)
-        if inline_mm:
+        if inline:
             # av(d=2)[y0] = a[-y0]: y0 == 0 lanes hold each pair's a[0]
             a0 = aw_ref[0, 0, :, 0:SH]
             if ilv:
@@ -216,22 +227,35 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
             lane_nb = y0 == (nbl - 1)
             bo = jnp.where(lane_nb, zero_dt, gop)
             be = jnp.where(lane_nb, zero_dt, ge)
-        if inline_mm:
+        if inline:
             av = av_ref[...]
-            bl = bl_ref[0]
             # (BS, (K+1)*SH): win[:, j*SH:(j+1)*SH] = per-pair a[d0-2+j]
             win = aw_ref[0, 0]
-            mt = scal_ref[3]
-            mm = scal_ref[4]
+            if inline_mm:
+                bl = bl_ref[0]
+                mt = scal_ref[3]
+                mm = scal_ref[4]
+            else:
+                pls = bl_ref[0]  # (lut_k, BS, LN) per-a-letter score planes
         h_news = []
         for k in range(K):
             d = d0 + k
-            if inline_mm:
-                ss = jnp.where(av == bl, mt, mm)
-                if is_sw:
-                    # pads must stay hugely negative for the unmasked best
-                    ss = jnp.where((av >= PADA) | (bl >= PADA),
-                                   jnp.asarray(POISON, dt), ss)
+            if inline:
+                if inline_mm:
+                    ss = jnp.where(av == bl, mt, mm)
+                    if is_sw:
+                        # pads must stay hugely negative for the unmasked
+                        # best
+                        ss = jnp.where((av >= PADA) | (bl >= PADA),
+                                       jnp.asarray(POISON, dt), ss)
+                else:
+                    # lut_k-way select chain over the rolling a-codes; the
+                    # POISON default covers a-pads (av == PADA) and the
+                    # planes bake b-pad lanes to POISON, so SW's unmasked
+                    # best never sees pad scores
+                    ss = jnp.full((BS, LN), POISON, dt)
+                    for c in range(lut_k):
+                        ss = jnp.where(av == c, pls[c], ss)
                 # entering a[d-1] = per-pair win slice j = k+1
                 av = jnp.concatenate(
                     [win[:, (k + 1) * SH: (k + 2) * SH], av[:, : LN - SH]],
@@ -294,7 +318,7 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
         es_ref[...] = es
         f_ref[...] = f
         hs2_ref[...] = hs2
-        if inline_mm:
+        if inline:
             av_ref[...] = av
         if is_sw:
             accv_ref[...] = accv
@@ -329,8 +353,9 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
 
 
 def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
-                 inline_mm=False, nsg=False, neg=False, chunked=False,
-                 LA=None):
+                 inline_mm=False, lut_k=0, nsg=False, neg=False,
+                 chunked=False, LA=None):
+    inline = inline_mm or lut_k > 0
     if chunked:
         # Boundary-column carry (long-sequence decomposition,
         # dp.fill_chunked's Pallas analog, requires inline_mm): the carried
@@ -353,9 +378,10 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
          h2m_ref, h2ga_ref, h2gb_ref,
          cm_ref, cga_ref, cgb_ref,
          av_ref, bom_ref, boga_ref, bogb_ref) = refs
-    elif inline_mm:
-        # equality scoring computed in-kernel (see _kernel): aw_ref carries
-        # this block's entering a-codes, av_ref the rolling sheared codes
+    elif inline:
+        # in-kernel scoring (see _kernel): aw_ref carries this block's
+        # entering a-codes, av_ref the rolling sheared codes; bl_ref holds
+        # the b-codes (equality mode) or the per-a-letter LUT planes
         (aw_ref, bl_ref, nabl_ref, drange_ref, scal_ref,
          dirs_ref, m_ref, corn_ref,
          sm_ref, sga_ref, sgb_ref,      # S(d): unshifted
@@ -394,7 +420,7 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     LN = P * LBt
     # lane layouts: see _kernel — block for the plane path, interleaved
     # (lane l = pair l % P, y0 = l // P) for inline with P > 1
-    ilv = inline_mm and P > 1
+    ilv = inline and P > 1
     lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
     if ilv:
         y0 = lane // P
@@ -426,7 +452,7 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     @pl.when(dk == 0)
     def _init():
         zero = jnp.zeros((BS, LN), dt)
-        if inline_mm:
+        if inline:
             a0 = aw_ref[0, 0, :, 0:SH]
             if ilv:
                 pad = jnp.full((BS, LN - SH), PADA, jnp.int32)
@@ -504,23 +530,34 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             dlo = drange_ref[ib, 0]
             dhi = drange_ref[ib, 1]
             cap = (d0 <= dhi) & (d0 + K > dlo)
-        if inline_mm:
+        if inline:
             av = av_ref[...]
-            bl = bl_ref[0]
             # (BS, (K+1)*SH): win[:, j*SH:(j+1)*SH] = per-pair a[d0-2+j]
             win = aw_ref[0, 0]
-            mt = scal_ref[3]
-            mm = scal_ref[4]
+            if inline_mm:
+                bl = bl_ref[0]
+                mt = scal_ref[3]
+                mm = scal_ref[4]
+            else:
+                pls = bl_ref[0]  # (lut_k, BS, LN) per-a-letter score planes
         if chunked:
             bcM_u, bcGa_u, bcGb_u = (bcol_ref[0, r] for r in range(3))
             bom, boga, bogb = bom_ref[...], boga_ref[...], bogb_ref[...]
         for k in range(K):
             d = d0 + k
-            if inline_mm:
-                # pad cells never feed valid cells and pad plane bytes are
-                # never read (interior-only unpack), so plain mm scoring
-                # suffices — no poison select needed here
-                ss = jnp.where(av == bl, mt, mm)
+            if inline:
+                if inline_mm:
+                    # pad cells never feed valid cells and pad plane bytes
+                    # are never read (interior-only unpack), so plain mm
+                    # scoring suffices — no poison select needed here
+                    ss = jnp.where(av == bl, mt, mm)
+                else:
+                    # lut_k-way select chain (see _kernel); POISON default
+                    # covers a-pads, planes bake b-pads to POISON — pads
+                    # stay hugely negative like the plane path
+                    ss = jnp.full((BS, LN), POISON, dt)
+                    for c in range(lut_k):
+                        ss = jnp.where(av == c, pls[c], ss)
                 av = jnp.concatenate(
                     [win[:, (k + 1) * SH: (k + 2) * SH], av[:, : LN - SH]],
                     axis=1)
@@ -625,7 +662,7 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         sm_ref[...], sga_ref[...], sgb_ref[...] = pm1, pga1, pgb1
         hm_ref[...], hga_ref[...], hgb_ref[...] = m1s, ga1s, gb1s
         h2m_ref[...], h2ga_ref[...], h2gb_ref[...] = m2s, ga2s, gb2s
-        if inline_mm:
+        if inline:
             av_ref[...] = av
         if chunked:
             bom_ref[...], boga_ref[...], bogb_ref[...] = bom, boga, bogb
@@ -686,12 +723,13 @@ def f32_safe(sc, LA, LB) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8",
-                     "inline_mm", "nsg", "neg"),
+                     "inline_mm", "lut_k", "nsg", "neg"),
 )
 def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   *, is_sw: bool, interpret: bool = False,
                   unroll: int = 8, bs: int = 128, use_f32: bool = True,
                   ss8: bool = True, inline_mm: bool = False,
+                  lut_k: int = 0,
                   match=None, mismatch=None, nsg: bool = False,
                   neg: bool = False):
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
@@ -722,6 +760,17 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     (shared fold-canonical alphabet — per-sequence compact codes give
     wrong equality).  Lane-packed rows (P > 1) use the interleaved layout
     (pair l % P at y0 = l // P).  ``subK``/``imK`` are ignored.
+
+    ``lut_k`` (== subK.shape[0]; exclusive with ``inline_mm``): in-kernel
+    LUT scoring for arbitrary substitution matrices over small alphabets.
+    The b-codes are static per lane, so the prologue bakes per-a-letter
+    VMEM planes pl[c][lane] = subK[c, b[lane]] and the kernel selects
+    among them with a lut_k-way chain over the rolling a-codes — no
+    shear, no per-diagonal HBM plane stream, same win as ``inline_mm``
+    minus the chain cost.  Sequences must be coded by
+    :func:`dp.compact_inputs` (per-side alphabets: a-codes index subK
+    rows, b-codes its columns).  Callers gate lut_k <= 16 and size ``bs``
+    for the extra lut_k*4*LN bytes/sublane of VMEM (aligners._pallas_bs).
     """
     del imK  # scores-only path never needs the is-match table
     B, LA = ac.shape
@@ -749,16 +798,20 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     # Remap pad positions to dedicated poison codes so pad-region substitution
     # scores are hugely negative (see module docstring).
     Ka, Kb = subK.shape
-    if inline_mm:
-        # no substitution planes at all: pad-coded sequences only
+    inline = inline_mm or lut_k > 0
+    if inline:
+        # no substitution plane STREAM: pad-coded sequences (+ static
+        # per-letter planes in lut mode)
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
             ac, PADA,
         )
-        bc = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
-            bc, PADB,
-        )
+        if inline_mm:
+            bc = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
+                < nb[:, None],
+                bc, PADB,
+            )
         # overlapping entering-code windows: aw[b, dk, j] = a[dk*K + j],
         # j in [0, K] — two reshapes + a strided slice, no gathers
         LAp = DK * K + K + 2
@@ -770,9 +823,26 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         # win[:, j*P + p] = a_pair_p[dk*K + j]
         aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
         aw = aw.reshape(nB, DK, BS, (K + 1) * P)
-        # lane l = y0*P + p holds b_pair_p[y0]
-        bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
-        bl = bl.reshape(nB, BS, LN)
+        if inline_mm:
+            # lane l = y0*P + p holds b_pair_p[y0]
+            bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
+            bl = bl.reshape(nB, BS, LN)
+        else:
+            # static per-a-letter score planes: pl[c][lane] =
+            # subK[c, b[lane]], with b-pad lanes baked to POISON (pad
+            # column Kb); layout matches bl's lane packing
+            subKp = jnp.pad(subK, ((0, 0), (0, 1)),
+                            constant_values=POISON).astype(dt)
+            bcp = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
+                < nb[:, None],
+                bc, Kb,
+            )
+            pt = subKp[:, bcp]  # (Ka, Bp, LBt)
+            pt = pt.reshape(Ka, nB, BS, P, LBt)
+            pt = pt.transpose(1, 0, 2, 4, 3) if P > 1 else \
+                pt.transpose(1, 0, 2, 3, 4)
+            bl = pt.reshape(nB, Ka, BS, LN)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -798,7 +868,7 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
-    if inline_mm and P > 1:  # interleaved lanes: l = y0*P + p
+    if inline and P > 1:  # interleaved lanes: l = y0*P + p
         nalane = jnp.broadcast_to(
             na32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
         ).reshape(nB, 1, BS, LN)
@@ -828,12 +898,18 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
 
     kernel = functools.partial(
         _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
-        ss_i8=ss8, inline_mm=inline_mm, nsg=nsg, neg=neg,
+        ss_i8=ss8, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
     )
-    if inline_mm:
+    if inline:
+        if inline_mm:
+            second_spec = pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0))
+        else:
+            assert lut_k == Ka, (lut_k, Ka)
+            second_spec = pl.BlockSpec((1, Ka, BS, LN),
+                                       lambda i, d: (i, 0, 0, 0))
         first_specs = [
             pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
-            pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+            second_spec,
         ]
         first_args = (aw, bl)
         scratch = [pltpu.VMEM((BS, LN), dt)] * 6 + [
@@ -859,7 +935,7 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         interpret=interpret,
     )(*first_args, nabl, drange, scal)
     # reduce each pair's lanes to its score
-    if inline_mm and P > 1:
+    if inline and P > 1:
         out = out.reshape(nB, BS, LBt, P).max(axis=2).reshape(Bp)
     else:
         out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
@@ -879,12 +955,14 @@ def _pack_lanes(v, nB, BS, P, ilv):
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "use_f32", "ss8", "inline_mm", "nsg", "neg", "chunked"),
+                     "use_f32", "ss8", "inline_mm", "lut_k", "nsg", "neg",
+                     "chunked"),
 )
 def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      *, is_sw: bool, emit_m: bool, interpret: bool = False,
                      unroll: int = 8, bs: int = 128, use_f32: bool = True,
                      ss8: bool = True, inline_mm: bool = False,
+                     lut_k: int = 0,
                      match=None, mismatch=None, nsg: bool = False,
                      neg: bool = False, chunked: bool = False,
                      x_off=None, bcol=None):
@@ -920,19 +998,22 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     nB = Bp // (BS * P)
 
     Ka, Kb = subK.shape
+    inline = inline_mm or lut_k > 0
     if chunked:
         assert inline_mm, "chunked Pallas fills require inline_mm scoring"
         x_off32 = jnp.asarray(x_off, jnp.int32).reshape(1)
-    if inline_mm:
+    if inline:
         abound = na[:, None] - (x_off32[0] if chunked else 0)
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < abound,
             ac, PADA,
         )
-        bc = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
-            bc, PADB,
-        )
+        if inline_mm:
+            bc = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
+                < nb[:, None],
+                bc, PADB,
+            )
         LAp = DK * K + K + 2
         awin = jnp.pad(ac, ((0, 0), (0, LAp - LA)), constant_values=PADA)
         main = awin[:, : DK * K].reshape(Bp, DK, K)
@@ -940,8 +1021,23 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
         aw = jnp.concatenate([main, last], axis=2)
         aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
         aw = aw.reshape(nB, DK, BS, (K + 1) * P)
-        bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
-        bl = bl.reshape(nB, BS, LN)
+        if inline_mm:
+            bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
+            bl = bl.reshape(nB, BS, LN)
+        else:
+            # static per-a-letter score planes (see pallas_scores)
+            subKp = jnp.pad(subK, ((0, 0), (0, 1)),
+                            constant_values=POISON).astype(dt)
+            bcp = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
+                < nb[:, None],
+                bc, Kb,
+            )
+            pt = subKp[:, bcp]  # (Ka, Bp, LBt)
+            pt = pt.reshape(Ka, nB, BS, P, LBt)
+            pt = pt.transpose(1, 0, 2, 4, 3) if P > 1 else \
+                pt.transpose(1, 0, 2, 3, 4)
+            bl = pt.reshape(nB, Ka, BS, LN)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -969,7 +1065,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
-    if inline_mm and P > 1:  # interleaved lanes: l = y0*P + p
+    if inline and P > 1:  # interleaved lanes: l = y0*P + p
         nalane = jnp.broadcast_to(
             na32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
         ).reshape(nB, 1, BS, LN)
@@ -998,16 +1094,22 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
 
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
-        DK=DK, dt=dt, inline_mm=inline_mm, nsg=nsg, neg=neg,
+        DK=DK, dt=dt, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
         chunked=chunked, LA=LA,
     )
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
     mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m
             else (lambda i, d: (0, 0, 0, 0, 0)))
-    if inline_mm:
+    if inline:
+        if inline_mm:
+            second_spec = pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0))
+        else:
+            assert lut_k == Ka, (lut_k, Ka)
+            second_spec = pl.BlockSpec((1, Ka, BS, LN),
+                                       lambda i, d: (i, 0, 0, 0))
         first_specs = [
             pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
-            pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+            second_spec,
         ]
         first_args = (aw, bl)
         scratch = [pltpu.VMEM((BS, LN), dt)] * 12 + [
@@ -1066,7 +1168,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     corner = None
     if not is_sw:
         INT_MIN32 = jnp.int32(np.iinfo(np.int32).min)
-        if inline_mm and P > 1:
+        if inline and P > 1:
             c = corn.reshape(nB, 3, BS, LBt, P)
             if dt == jnp.float32:
                 c = jnp.where(jnp.isinf(c), jnp.float32(INT_MIN32), c)

@@ -129,6 +129,126 @@ def test_inline_mm_asymmetric_alphabets_and_case():
     assert (acs[0, 0] != acs[0, 2]) == (chr(a[0, 0]) != chr(a[0, 2]))
 
 
+def _lut_cfgs():
+    """Matrix-scoring configs that are NOT mm_eligible but fit the
+    in-kernel LUT mode (small a-side alphabet)."""
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    wild = ScoringConfig(2, -3, -5, -2).add_wildcard("n", 1)
+    swap = ScoringConfig(1, -2, -4, -1)
+    swap.add_mutation("a", "g", 0)
+    swap.add_mutation("g", "a", 0)
+    mat = ScoringConfig(0, 0, -4, -1).add_mutations(
+        "acgt",
+        [[2, -1, -1, -1], [-1, 3, -1, -1], [-1, -1, 3, -1], [-1, -1, -1, 2]],
+        use_match_mismatch=False,
+    )
+    return {"wild": (wild, "acgtn"), "swap": (swap, "acgt"),
+            "matrix": (mat, "acgt")}
+
+
+@pytest.mark.parametrize("cfg", ["wild", "swap", "matrix"])
+@pytest.mark.parametrize("LB", [256, 24])  # interleaved P > 1 both ways
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_pallas_scores_inline_lut(is_sw, LB, cfg):
+    """In-kernel LUT scoring (per-a-letter planes + select chain) must be
+    bit-identical to the XLA wavefront on wildcard/swap/matrix configs,
+    ragged lengths included."""
+    import seqalign_tpu.aligners as al
+
+    sc, alpha = _lut_cfgs()[cfg]
+    assert not dp.mm_eligible(sc)
+    rng = np.random.default_rng(LB + is_sw + len(cfg))
+    B, LA = 6, LB + 16
+    lut = np.frombuffer(alpha.encode(), dtype=np.uint8)
+    a = lut[rng.integers(0, len(lut), (B, LA))]
+    b = lut[rng.integers(0, len(lut), (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    lk = al._lut_k(subK)
+    assert lk > 0
+    args = tuple(jnp.asarray(v) for v in (ac, bc, na, nb, subK, imK)) + (
+        np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(is_sw)))
+    for use_f32 in (False, True):
+        got = np.asarray(pallas_scores(
+            *args, is_sw=is_sw, interpret=True, use_f32=use_f32,
+            lut_k=lk, bs=al._pallas_bs(B, LB, lut_k=lk)))
+        ref = dp.dp_fill(
+            *args, is_sw=is_sw, nsg=False, neg=False, nga=False, ngb=False,
+            nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+        )
+        want = np.asarray(ref.best if is_sw else jnp.max(ref.corner, axis=1))
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("nsg,neg", [(True, False), (False, True),
+                                     (True, True)])
+def test_pallas_scores_inline_lut_free_gaps(nsg, neg):
+    """LUT mode composes with the free start/end-gap boundary variants."""
+    import seqalign_tpu.aligners as al
+
+    sc, alpha = _lut_cfgs()["wild"]
+    sc.no_start_gap_penalty = nsg
+    sc.no_end_gap_penalty = neg
+    rng = np.random.default_rng(7 + nsg + 2 * neg)
+    B, LA, LB = 5, 48, 32
+    lut = np.frombuffer(alpha.encode(), dtype=np.uint8)
+    a = lut[rng.integers(0, len(lut), (B, LA))]
+    b = lut[rng.integers(0, len(lut), (B, LB))]
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    lk = al._lut_k(subK)
+    args = tuple(jnp.asarray(v) for v in (ac, bc, na, nb, subK, imK)) + (
+        np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(False)))
+    got = np.asarray(pallas_scores(
+        *args, is_sw=False, interpret=True, lut_k=lk, nsg=nsg, neg=neg))
+    ref = dp.dp_fill(
+        *args, is_sw=False, nsg=nsg, neg=neg, nga=False, ngb=False,
+        nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    want = np.asarray(jnp.max(ref.corner, axis=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scores_auto_routes_lut(monkeypatch):
+    """score_batch / best_score_batch on a matrix config must route through
+    the Pallas LUT mode (lut_k > 0) and still produce exact scores."""
+    import seqalign_tpu.aligners as al
+    import seqalign_tpu.ops.pallas_dp as pdp
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    seen = []
+    orig = pdp.pallas_scores
+
+    def spy(*a, **k):
+        seen.append(k.get("lut_k", 0))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pdp, "pallas_scores", spy)
+    sc, alpha = _lut_cfgs()["wild"]
+    rng = np.random.default_rng(11)
+    seqs_a = ["".join(rng.choice(list(alpha), rng.integers(2, 30)))
+              for _ in range(5)]
+    seqs_b = ["".join(rng.choice(list(alpha), rng.integers(2, 30)))
+              for _ in range(5)]
+    got_nw = al.NeedlemanWunsch(sc).score_batch(seqs_a, seqs_b)
+    got_sw = al.SmithWaterman(sc).best_score_batch(seqs_a, seqs_b)
+    assert seen and all(k > 0 for k in seen), seen
+    from seqalign_tpu.ops import oracle
+
+    for i, (x, y) in enumerate(zip(seqs_a, seqs_b)):
+        M, Ga, Gb = oracle.fill_matrices(sc, x, y, is_sw=False)
+        assert got_nw[i] == max(M[-1, -1], Ga[-1, -1], Gb[-1, -1])
+        Ms = oracle.fill_matrices(sc, x, y, is_sw=True)[0]
+        assert got_sw[i] == max(0, int(Ms.max()))
+
+
 def test_mm_eligible_gates():
     from seqalign_tpu.scoring.config import ScoringConfig
 
@@ -543,6 +663,45 @@ def test_pallas_dirs_match_xla(is_sw, use_f32):
                 )
         if not is_sw:
             np.testing.assert_array_equal(np.asarray(corner)[j], xc[j])
+
+
+@pytest.mark.parametrize("cfg", ["wild", "swap", "matrix"])
+def test_aligner_pallas_dirs_lut_wiring(monkeypatch, cfg):
+    """align_batch on matrix-scoring configs must route through the Pallas
+    dirs kernel's LUT mode and reproduce the host path exactly —
+    alignments, SW hit streams, and NW corners."""
+    import seqalign_tpu.ops.pallas_dp as pdp
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+
+    sc, alpha = _lut_cfgs()[cfg]
+    rng = np.random.default_rng(5 + len(cfg))
+    seqs_a = ["".join(rng.choice(list(alpha), rng.integers(2, 18)))
+              for _ in range(4)]
+    seqs_b = ["".join(rng.choice(list(alpha), rng.integers(2, 18)))
+              for _ in range(4)]
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "host")
+    want_nw = NeedlemanWunsch(sc).align_batch(seqs_a, seqs_b)
+    want_sw = [list(h) for h in SmithWaterman(sc).align_batch(seqs_a,
+                                                              seqs_b)]
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    seen = []
+    orig = pdp.pallas_fill_dirs
+
+    def spy(*a, **k):
+        seen.append(k.get("lut_k", 0))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pdp, "pallas_fill_dirs", spy)
+    got_nw = NeedlemanWunsch(sc).align_batch(seqs_a, seqs_b)
+    got_sw = [list(h) for h in SmithWaterman(sc).align_batch(seqs_a,
+                                                             seqs_b)]
+    assert seen and all(k > 0 for k in seen), seen
+    assert got_nw == want_nw
+    assert got_sw == want_sw
 
 
 def test_aligner_pallas_dirs_wiring(monkeypatch):
