@@ -338,36 +338,62 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                       chunk: int, mins=None):
     """Try the chunked Pallas dirs fill for long pairs (boundary-column
-    carry on device; equality scoring only).  Returns (per-pair dirs-slab
-    builder, m_part, corner, na, nb) or None for the XLA chunked path."""
+    carry on device; in-kernel scoring — equality or small-alphabet LUT
+    matrices).  Returns (per-pair dirs-slab builder, m_part, corner, na,
+    nb) or None for the XLA chunked path."""
     from .ops import dp
 
-    if not (_pallas_eligible(sc) and dp.mm_eligible(sc)):
+    if not _pallas_eligible(sc):
         return None
     a, na = dp.pad_batch(seqs_a)
     b, nb = dp.pad_batch(seqs_b)
     if min(na.min(initial=1), nb.min(initial=1)) < 1:
         return None
     lb = max(_pallas_pad_floor(), dp._next_pow2(b.shape[1]))
-    # lanes bound |b|; SW without a pruning hint also fetches the packed M
-    # chunks, so it keeps a tighter bound
-    lim = 8192 if (not is_sw or mins is not None) else 1024
-    if lb > lim:
-        return None
+    inline = dp.mm_eligible(sc)
     from .ops.pallas_dp import f32_safe, fill_dirs_long, unpack_pair_plane
 
     b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
-    ac, bc = dp.compact_inputs_mm(sc, a, b)
-    dirs_chunks, m_part, corner, geo = fill_dirs_long(
-        ac, bc, na, nb, np.int32(sc.gap_open), np.int32(sc.gap_extend),
-        np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
-        match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
-        chunk=chunk, nsg=sc.no_start_gap_penalty,
-        # f32 exactness bound must cover the FULL global path length
-        neg=sc.no_end_gap_penalty, use_f32=f32_safe(sc, a.shape[1], lb),
-        interpret=_pallas_mode() == "interpret",
-        bs=_pallas_dirs_bs(len(seqs_a), lb), extract_min=mins,
-    )
+    lut = 0
+    subK = None
+    if inline:
+        ac, bc = dp.compact_inputs_mm(sc, a, b)
+    else:
+        ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+        del imK
+        lut = _lut_k(subK)
+        if lut == 0:
+            return None  # large alphabet: XLA chunked path
+    # lanes bound |b|; SW without a pruning hint also fetches the packed M
+    # chunks, so it keeps a tighter bound; lut mode takes a conservative
+    # half-envelope for its extra VMEM planes
+    if not inline:
+        lim = 4096 if (not is_sw or mins is not None) else 1024
+    else:
+        lim = 8192 if (not is_sw or mins is not None) else 1024
+    if lb > lim:
+        return None
+    try:
+        dirs_chunks, m_part, corner, geo = fill_dirs_long(
+            ac, bc, na, nb, np.int32(sc.gap_open), np.int32(sc.gap_extend),
+            np.int32(sc.dp_floor(is_sw)), is_sw=is_sw, emit_m=is_sw,
+            match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
+            chunk=chunk, nsg=sc.no_start_gap_penalty,
+            # f32 exactness bound must cover the FULL global path length
+            neg=sc.no_end_gap_penalty, use_f32=f32_safe(sc, a.shape[1], lb),
+            interpret=_pallas_mode() == "interpret",
+            bs=_pallas_dirs_bs(len(seqs_a), lb, lut_k=lut),
+            extract_min=mins, subK=subK, lut_k=lut,
+        )
+    except Exception:
+        if _pallas_mode() == "interpret":
+            raise
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Pallas chunked path failed; falling back to XLA",
+            exc_info=True)
+        return None
     D_c = chunk + lb - 1
 
     def slabs(j, chunks):
@@ -489,9 +515,10 @@ class NeedlemanWunsch:
     def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048) -> Alignment:
         """Long-sequence global alignment: chunked fill with boundary-column
         carry (device memory O(chunk * len_b)); traceback walks the streamed
-        per-chunk direction codes.  Equality-scoring configs run the carry
-        through the Pallas dirs kernel (fill_dirs_long); matrix scoring
-        takes the XLA chunked scan."""
+        per-chunk direction codes.  Equality and small-alphabet LUT
+        scoring run the carry through the Pallas dirs kernel
+        (fill_dirs_long); large-alphabet matrices take the XLA chunked
+        scan."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, nw_traceback
 
@@ -674,8 +701,9 @@ class SmithWaterman:
         """Long-sequence local multi-hit alignment via the chunked fill.
         With ``min_score``, the streaming mode: per-chunk on-device
         candidate harvest, M slabs never materialized on host — memory is
-        O(dirs + candidates), bounded for giant pairs.  Equality-scoring
-        configs run the carry through the Pallas dirs kernel."""
+        O(dirs + candidates), bounded for giant pairs.  Equality and
+        small-alphabet LUT scoring run the carry through the Pallas dirs
+        kernel."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, ChunkedM, SwHitIterator
 

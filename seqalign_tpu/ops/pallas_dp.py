@@ -1000,7 +1000,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     Ka, Kb = subK.shape
     inline = inline_mm or lut_k > 0
     if chunked:
-        assert inline_mm, "chunked Pallas fills require inline_mm scoring"
+        assert inline, "chunked Pallas fills require in-kernel scoring"
         x_off32 = jnp.asarray(x_off, jnp.int32).reshape(1)
     if inline:
         abound = na[:, None] - (x_off32[0] if chunked else 0)
@@ -1215,11 +1215,15 @@ def fill_dirs_long(ac, bc, na, nb, gap_open, gap_extend, mn, *,
                    is_sw: bool, emit_m: bool, match, mismatch,
                    chunk: int = 2048, nsg: bool = False, neg: bool = False,
                    use_f32: bool = True, interpret: bool = False,
-                   bs: int = 8, unroll: int = 8, extract_min=None):
+                   bs: int = 8, unroll: int = 8, extract_min=None,
+                   subK=None, lut_k: int = 0):
     """Long-sequence Pallas traceback fill: seq_a chunked into ``chunk``
     columns, the boundary column carried ON DEVICE between chunk fills
-    (the XLA ``dp.fill_chunked``'s fast analog for equality scoring —
-    requires compact_inputs_mm codes; lanes still bound |b| <= ~8192).
+    (the XLA ``dp.fill_chunked``'s fast analog for in-kernel scoring —
+    compact_inputs_mm codes for equality configs, or per-side
+    compact_inputs codes + ``subK``/``lut_k`` for small-alphabet matrix
+    scoring: the LUT planes are b-indexed, so they are identical across
+    a-chunks; lanes still bound |b| <= ~8192).
 
     Returns ``(dirs_chunks, m_part, corner, geo)``:
       dirs_chunks: per-chunk packed (nB, DKK, BS, LN) uint8 host arrays
@@ -1275,12 +1279,15 @@ def fill_dirs_long(ac, bc, na, nb, gap_open, gap_extend, mn, *,
     cands = [([], []) for _ in range(B)] if extract_min is not None else None
     corner = None
     godt, gedt = jnp.asarray(gap_open, dt), jnp.asarray(gap_extend, dt)
+    subKj = (jnp.asarray(subK) if lut_k > 0
+             else np.zeros((8, 8), np.int32))
     for c in range(nchunks):
         acc = jnp.asarray(ac[:, c * CA:(c + 1) * CA])
         dirs, m, corner_c, bout = pallas_fill_dirs(
-            acc, bcj, naj, nbj, np.zeros((8, 8), np.int32),
+            acc, bcj, naj, nbj, subKj,
             gap_open, gap_extend, mn, is_sw=is_sw, emit_m=emit_m,
-            inline_mm=True, chunked=True, x_off=np.int32(c * CA),
+            inline_mm=lut_k == 0, lut_k=lut_k, chunked=True,
+            x_off=np.int32(c * CA),
             bcol=bcol, match=match, mismatch=mismatch, nsg=nsg, neg=neg,
             use_f32=use_f32, interpret=interpret, bs=bs, unroll=unroll,
         )

@@ -527,6 +527,55 @@ def test_pallas_long_fill_sw(monkeypatch, min_score):
         assert all(g[0] >= min_score for g in got)
 
 
+@pytest.mark.parametrize("cfg", ["wild", "matrix"])
+def test_pallas_long_fill_lut(monkeypatch, cfg):
+    """Matrix-scoring configs ride the chunked Pallas path too (the LUT
+    planes are b-indexed, identical across a-chunks): alignments and SW
+    hit streams must equal the host one-shot path."""
+    import seqalign_tpu.ops.pallas_dp as pdp
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+    from seqalign_tpu.ops import host_dp
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    seen = []
+    orig = pdp.fill_dirs_long
+
+    def spy(*a, **k):
+        seen.append(k.get("lut_k", 0))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pdp, "fill_dirs_long", spy)
+    sc, alpha = _lut_cfgs()[cfg]
+    rng = np.random.default_rng(len(cfg))
+    a = "".join(rng.choice(list(alpha), 70))
+    b = "".join(rng.choice(list(alpha), 40))
+    nw = NeedlemanWunsch(sc)
+    got = nw.align_long(a, b, chunk=24)
+    want = host_dp.nw_align(sc, a, b)
+    assert (got.result_a, got.result_b, got.score) == \
+        (want.result_a, want.result_b, want.score)
+    sw = SmithWaterman(sc)
+    for min_score in (None, 5):
+        it = sw.align_long(a, b, chunk=24, min_score=min_score)
+        host = host_dp.HostSwHits(sc, a, b)
+        hits = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                for h in it]
+        want_h = []
+        while True:
+            h = host.fetch()
+            if h is None or (min_score is not None and h.score < min_score):
+                break
+            want_h.append((h.score, h.pos_a, h.pos_b, h.result_a,
+                           h.result_b))
+        if min_score is None:
+            assert hits == want_h
+        else:
+            assert hits[: len(want_h)] == want_h
+            assert all(g[0] >= min_score for g in hits)
+    assert seen and all(k > 0 for k in seen), seen
+
+
 def test_pallas_long_bucket_batched(monkeypatch):
     """The long-pair bucket batches through one chunked Pallas fill per
     |b| group; alignments and hit streams must equal the host path."""
