@@ -50,9 +50,10 @@ def _fit(make_scan_fn, inputs_for, vs, reps=7):
     return (res[vs[-1]] - res[vs[0]]) / (vs[-1] - vs[0])
 
 
-def _bench_shape(sc, B, L, *, kind, is_sw, vs):
+def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False):
     """Per-fill seconds for one (B, L) config on the current backend.
-    kind: 'scores' | 'dirs'."""
+    kind: 'scores' | 'dirs'.  ``lut_mode`` forces the in-kernel LUT-scoring
+    mode (per-a-letter VMEM planes) instead of equality/plane scoring."""
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +69,13 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
     rng = np.random.default_rng(0)
     bseq = lut[rng.integers(0, 4, (B, L))]
     _, _, subK, imK = dp.compact_inputs(sc, bseq, bseq)
-    inline = dp.mm_eligible(sc) and max(1, TL // L) == 1
+    inline = (not lut_mode) and dp.mm_eligible(sc) and max(1, TL // L) == 1
+    lutk = 0
+    if lut_mode:
+        from seqalign_tpu.aligners import _lut_k
+
+        lutk = _lut_k(subK)
+        assert lutk > 0, "lut bench config needs a small-alphabet matrix"
     na = jnp.full((B,), L, jnp.int32)
     nb = jnp.full((B,), L, jnp.int32)
     if inline:
@@ -96,7 +103,8 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
                 if kind == "scores":
                     s = pallas_scores(
                         aa, bc, na, nb, subK, imK, go, ge, mn, is_sw=is_sw,
-                        use_f32=f32, inline_mm=inline, interpret=interp,
+                        use_f32=f32, inline_mm=inline, lut_k=lutk,
+                        interpret=interp,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
                         unroll=16 if inline and L <= 512 else 8,
@@ -106,7 +114,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs):
                     d, m, corner = pallas_fill_dirs(
                         aa, bc, na, nb, subK, go, ge, mn, is_sw=is_sw,
                         emit_m=is_sw, use_f32=f32, inline_mm=inline,
-                        interpret=interp,
+                        lut_k=lutk, interpret=interp,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
                     )
@@ -149,19 +157,34 @@ def main():
         }))
         return
 
+    # small-alphabet matrix config for the in-kernel LUT rows (Ka=8 after
+    # kpad rounding; wildcard makes it non-mm-eligible like real matrix use)
+    nwq = scoring_system_default().add_wildcard("n", 0)
+
     sweep = []
     configs = [
-        # (label, sc, B, L, kind, is_sw)
-        ("nw_scores_B256_L512", nw, 256, 512, "scores", False),
-        ("nw_scores_B64_L1024", nw, 64, 1024, "scores", False),
-        ("nw_scores_B256_L128", nw, 256, 128, "scores", False),  # P>1 planes
-        ("sw_scores_B256_L512", sw, 256, 512, "scores", True),
-        ("nw_dirs_B256_L512", nw, 256, 512, "dirs", False),
-        ("sw_dirs_B128_L512", sw, 128, 512, "dirs", True),
+        # (label, sc, B, L, kind, is_sw, lut)
+        ("nw_scores_B256_L512", nw, 256, 512, "scores", False, False),
+        ("nw_scores_B64_L1024", nw, 64, 1024, "scores", False, False),
+        ("nw_scores_B256_L128", nw, 256, 128, "scores", False, False),
+        ("sw_scores_B256_L512", sw, 256, 512, "scores", True, False),
+        ("nw_dirs_B256_L512", nw, 256, 512, "dirs", False, False),
+        ("sw_dirs_B128_L512", sw, 128, 512, "dirs", True, False),
+        ("nw_scores_lutQ8_B256_L512", nwq, 256, 512, "scores", False, True),
+        ("nw_dirs_lutQ8_B256_L512", nwq, 256, 512, "dirs", False, True),
     ]
     headline = None
-    for label, sc, B, L, kind, is_sw in configs:
-        per = _bench_shape(sc, B, L, kind=kind, is_sw=is_sw, vs=(2, 66))
+    for label, sc, B, L, kind, is_sw, lut in configs:
+        try:
+            per = _bench_shape(sc, B, L, kind=kind, is_sw=is_sw, vs=(2, 66),
+                               lut_mode=lut)
+        except Exception as e:  # noqa: BLE001 — isolate per-row failures
+            if label == "nw_scores_B256_L512":
+                raise  # the headline row must not fail silently
+            rec = {"label": label, "error": str(e)[:200]}
+            sweep.append(rec)
+            sys.stderr.write("bench sweep: %s\n" % json.dumps(rec))
+            continue
         gcups = B * L * L / per / 1e9
         pairs_s = B / per
         rec = {"label": label, "B": B, "L": L, "kind": kind,
