@@ -178,8 +178,13 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
 def _lut_k(subK) -> int:
     """Chain length for the in-kernel LUT-scoring mode (pallas_dp lut_k):
     the a-side alphabet after kpad rounding, or 0 (plane-streaming path)
-    when the select chain would outgrow its win over the HBM stream."""
-    return int(subK.shape[0]) if subK.shape[0] <= 16 else 0
+    when the select chain would outgrow its win over the HBM stream.
+    SEQALIGN_LUT_KMAX tunes the cutover (default 16 ≈ where the chain's
+    2*Ka ops/cell model crosses the measured ~14 GCUPS plane path; raise
+    to 24+ to pull BLOSUM/PAM protein alphabets in-kernel once measured
+    profitable)."""
+    kmax = int(os.environ.get("SEQALIGN_LUT_KMAX", "16"))
+    return int(subK.shape[0]) if subK.shape[0] <= kmax else 0
 
 
 def _pallas_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:

@@ -249,6 +249,43 @@ def test_scores_auto_routes_lut(monkeypatch):
         assert got_sw[i] == max(0, int(Ms.max()))
 
 
+def test_pallas_scores_lut_protein_alphabet(monkeypatch):
+    """Raising SEQALIGN_LUT_KMAX pulls a 24-letter protein matrix
+    (BLOSUM62) into the in-kernel LUT mode — still bit-identical to the
+    XLA wavefront at chain length 24."""
+    import seqalign_tpu.aligners as al
+    from seqalign_tpu.scoring.presets import scoring_system_BLOSUM62
+
+    monkeypatch.setenv("SEQALIGN_LUT_KMAX", "32")
+    sc = scoring_system_BLOSUM62()
+    rng = np.random.default_rng(62)
+    alpha = list("ARNDCQEGHILKMFPSTWYV")
+    B, LA, LB = 4, 40, 32
+    a = np.array([[ord(rng.choice(alpha)) for _ in range(LA)]
+                  for _ in range(B)], np.uint8)
+    b = np.array([[ord(rng.choice(alpha)) for _ in range(LB)]
+                  for _ in range(B)], np.uint8)
+    na = rng.integers(1, LA + 1, B).astype(np.int32)
+    nb = rng.integers(1, LB + 1, B).astype(np.int32)
+    ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
+    lk = al._lut_k(subK)
+    assert lk >= 24
+    args = tuple(jnp.asarray(v) for v in (ac, bc, na, nb, subK, imK)) + (
+        np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(sc.dp_floor(True)))
+    got = np.asarray(pallas_scores(
+        *args, is_sw=True, interpret=True, lut_k=lk,
+        bs=al._pallas_bs(B, 32, lut_k=lk)))
+    ref = dp.dp_fill(
+        *args, is_sw=True, nsg=False, neg=False, nga=False, ngb=False,
+        nmm=False, emit_dirs=False, emit_m=False, emit_gab=False,
+    )
+    np.testing.assert_array_equal(got, np.asarray(ref.best))
+    # default gate keeps protein on the plane-streaming path
+    monkeypatch.delenv("SEQALIGN_LUT_KMAX")
+    assert al._lut_k(subK) == 0
+
+
 def test_mm_eligible_gates():
     from seqalign_tpu.scoring.config import ScoringConfig
 
