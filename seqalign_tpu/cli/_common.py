@@ -435,10 +435,16 @@ def parse_args(argv, sc: ScoringConfig, cmd_type) -> Tuple[CmdOptions,
             break
         i += 1
 
-    # recompute penalty bounds after flag mutations (scoring_init tracks
-    # these at construction, alignment_scoring.c:49-54; our dataclass must
-    # refresh after the two-pass mutation)
-    _refresh_penalties(sc)
+    # Parity: the reference NEVER recomputes min/max_penalty after
+    # scoring_init — CLI mutations of match/mismatch/gap/no-gaps flags
+    # leave them at the preset's values (only add_wildcard/add_mutation
+    # accumulate, alignment_scoring.c:57-72).  The NEG_INF sentinel printed
+    # by --printmatrices is derived from that frozen min_penalty
+    # (alignment.c:41), so a recompute here breaks byte parity (caught on
+    # --printmatrices with --nogaps* or non-default --mismatch).  The f32
+    # kernel-exactness gates use ScoringConfig.true_penalty_bounds()
+    # instead, which always reflects current values.
+    sc._luts = None  # match/mismatch/flag mutations invalidate the LUTs
 
     if (match_set and not mismatch_set and not sc.no_mismatches) or \
             (not match_set and mismatch_set):
@@ -467,28 +473,6 @@ def parse_args(argv, sc: ScoringConfig, cmd_type) -> Tuple[CmdOptions,
               " with --zam")
 
     return cmd, sc
-
-
-def _refresh_penalties(sc: ScoringConfig):
-    """Recompute min/max_penalty from current values + any swap/wild scores
-    already registered (mirrors the accumulation order of scoring_init +
-    add_mutation/add_wildcard)."""
-    mn = min(sc.match, sc.mismatch)
-    mx = max(sc.match, sc.mismatch)
-    if not (sc.no_gaps_in_a and sc.no_gaps_in_b):
-        mn = min(mn, sc.gap_open + sc.gap_extend, sc.gap_extend)
-        mx = max(mx, sc.gap_open + sc.gap_extend, sc.gap_extend)
-    import numpy as np
-
-    if sc._swap_set.any():
-        mn = min(mn, int(sc._swap_scores[sc._swap_set].min()))
-        mx = max(mx, int(sc._swap_scores[sc._swap_set].max()))
-    if sc._wild_set.any():
-        mn = min(mn, int(sc._wild_scores[sc._wild_set].min()))
-        mx = max(mx, int(sc._wild_scores[sc._wild_set].max()))
-    sc.min_penalty = mn
-    sc.max_penalty = mx
-    sc._luts = None
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,25 @@ class ScoringConfig:
     def dp_floor(self, is_sw: bool) -> int:
         return 0 if is_sw else self.neg_inf
 
+    def true_penalty_bounds(self) -> tuple:
+        """(min, max) over the CURRENT per-step scores: match/mismatch, gap
+        steps, swap and wildcard scores.  Unlike ``min_penalty`` /
+        ``max_penalty`` — which replicate the reference's frozen
+        scoring_init accumulation for NEG_INF byte parity (alignment.c:41;
+        CLI flag mutations never recompute them) — these are real bounds,
+        for the f32/int16 kernel-exactness gates (pallas_dp.f32_safe)."""
+        mn = min(self.match, self.mismatch,
+                 self.gap_open + self.gap_extend, self.gap_extend)
+        mx = max(self.match, self.mismatch,
+                 self.gap_open + self.gap_extend, self.gap_extend)
+        if self._swap_set.any():
+            mn = min(mn, int(self._swap_scores[self._swap_set].min()))
+            mx = max(mx, int(self._swap_scores[self._swap_set].max()))
+        if self._wild_set.any():
+            mn = min(mn, int(self._wild_scores[self._wild_set].min()))
+            mx = max(mx, int(self._wild_scores[self._wild_set].max()))
+        return mn, mx
+
     # -- LUT compilation ---------------------------------------------------------
 
     def luts(self):

@@ -29,6 +29,9 @@ SRCS="$REF/src/alignment.c $REF/src/alignment_scoring.c \
 gcc $CFLAGS -o "$OUT/needleman_wunsch" $SRCS "$REF/src/tools/nw_cmdline.c" -lz
 gcc $CFLAGS -o "$OUT/smith_waterman" $SRCS "$REF/src/tools/sw_cmdline.c" -lz
 gcc $CFLAGS -o "$OUT/lcs" $SRCS "$REF/src/tools/lcs_cmdline.c" -lz
+# Library-level fixture driver (tests/golden/{cases,golden}.tsv protocol —
+# see tools/gen_golden.py)
+gcc $CFLAGS -o "$OUT/golden_gen" $SRCS "$REPO/tools/refshim/golden_gen.c" -lz
 
 # Also build the UNPATCHED smith_waterman (the real reference binary, with
 # the quarter-mask-reset bug intact) — used by the strict bug-compat parity

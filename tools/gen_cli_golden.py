@@ -83,6 +83,16 @@ def cases():
              ["--nogapsin1", "--printscores", "aaaaacg", "acgt"]),
         case("nw_nogaps2", "needleman_wunsch",
              ["--nogapsin2", "--printscores", "aaaaacg", "acgt"]),
+        # NEG_INF sentinel parity: the reference never recomputes
+        # min_penalty after scoring_init, so the --printmatrices sentinel
+        # stays at the PRESET's value even when --nogaps*/--mismatch change
+        # the effective penalties (alignment.c:41, scoring_init 49-54)
+        case("nw_nogaps_matrices", "needleman_wunsch",
+             ["--printmatrices", "--nogapsin1", "--nogapsin2",
+              "CAGACGT", "CGATA"]),
+        case("nw_mismatch_sentinel", "needleman_wunsch",
+             ["--printmatrices", "--match", "1", "--mismatch", "-9",
+              "CAG", "CGA"]),
         case("nw_nomismatch", "needleman_wunsch",
              ["--nomismatches", "--printscores", "cgatcga", "catcctcga"]),
         case("nw_custom_scores", "needleman_wunsch",
