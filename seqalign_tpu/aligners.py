@@ -71,9 +71,12 @@ def _pallas_pad_floor() -> int:
 
 
 def _pallas_eligible(sc: ScoringConfig) -> bool:
-    """The Pallas kernels cover the fast path (default flags plus the free
-    start/end-gap modes) with gap_open <= 0 on a real accelerator; the
-    no-gaps/no-mismatch constrained modes use the XLA path."""
+    """The Pallas kernels cover every recurrence mode (default flags, free
+    start/end gaps, and the no-gaps/no-mismatch constrained modes) with
+    gap_open <= 0 on a real accelerator.  The constrained modes
+    additionally need an in-kernel scoring mode — no_mismatches needs
+    equality scoring (mm_eligible), the no-gaps modes any inline mode —
+    which the call sites check once the compact alphabet is known."""
     mode = _pallas_mode()
     if mode == "off":
         return False
@@ -82,9 +85,11 @@ def _pallas_eligible(sc: ScoringConfig) -> bool:
 
         if jax.default_backend() == "cpu":
             return False
-    return not (
-        sc.no_gaps_in_a or sc.no_gaps_in_b or sc.no_mismatches
-    ) and sc.gap_open <= 0
+    from .ops import dp
+
+    if sc.no_mismatches and not dp.mm_eligible(sc):
+        return False
+    return sc.gap_open <= 0
 
 
 def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
@@ -134,6 +139,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         else:
             ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
             lut = _lut_k(subK)
+        if (sc.no_gaps_in_a or sc.no_gaps_in_b) and not inline and lut == 0:
+            use_pallas = False  # plane path lacks the no-gaps guards
+    if use_pallas:
         try:
             out = pallas_scores(
                 jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
@@ -147,6 +155,8 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                 inline_mm=inline, lut_k=lut, match=np.int32(sc.match),
                 mismatch=np.int32(sc.mismatch),
                 nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+                nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+                nmm=sc.no_mismatches,
                 # short sweeps are grid-step-bound: deeper unroll halves
                 # the step count (measured +30% at L=128, neutral at
                 # L=512).  The unrolled temporaries live on the kernel's
@@ -236,8 +246,9 @@ def _pallas_dirs_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:
 
 def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                       mins=None):
-    """Try the Pallas direction-code kernel for a bucket (default-flags fast
-    path on a real accelerator).  Returns (dirs_accessor, m_part, corner,
+    """Try the Pallas direction-code kernel for a bucket (every recurrence
+    mode on a real accelerator; constrained no-gaps/no-mismatch modes
+    need an in-kernel scoring mode).  Returns (dirs_accessor, m_part, corner,
     na, nb, geometry) or None for XLA fallback.  m_part is a per-pair
     M-plane accessor — or, when ``mins`` (per-pair SW pruning thresholds)
     is given, the device-harvested per-pair (flats, scores) candidate list
@@ -281,6 +292,8 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     # in-kernel LUT mode avoids the shear but parks lut_k extra VMEM
     # planes, so it takes a conservative half-envelope.
     if not inline and lut == 0:
+        if sc.no_gaps_in_a or sc.no_gaps_in_b:
+            return None  # plane path lacks the no-gaps guards
         lim = 512
     elif is_sw and mins is None:
         lim = 1024
@@ -301,6 +314,8 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
             bs=bs, inline_mm=inline, lut_k=lut, match=np.int32(sc.match),
             mismatch=np.int32(sc.mismatch),
             nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+            nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+            nmm=sc.no_mismatches,
         )
         geo = pack_geometry(la, lb, bs=bs, inline=inline or lut > 0)
         dirs_np = np.asarray(dirs)
@@ -350,6 +365,8 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 
     if not _pallas_eligible(sc):
         return None
+    if sc.no_gaps_in_a or sc.no_gaps_in_b or sc.no_mismatches:
+        return None  # constrained modes: XLA chunked path
     a, na = dp.pad_batch(seqs_a)
     b, nb = dp.pad_batch(seqs_b)
     if min(na.min(initial=1), nb.min(initial=1)) < 1:

@@ -35,8 +35,11 @@ Scores-only uses the H/E/F reduction of the reference's M/Ga/Gb recurrence:
 already clamped at mn.  Recurrence: alignment.c:89-167 with
 gop = gap_open + gap_extend (alignment.c:38-39).
 
-This kernel covers the default-flags fast path (no free-end/no-gaps/
-no-mismatch constraints) with gap_open <= 0; other modes run on the XLA path.
+The kernels cover every recurrence mode (default flags, free start/end
+gaps, and the no-gaps/no-mismatch constrained modes — the latter need an
+in-kernel scoring mode: equality for no_mismatches, equality or LUT for
+no-gaps) with gap_open <= 0; large-alphabet matrix scoring streams
+substitution planes instead, without the constrained modes.
 """
 
 from __future__ import annotations
@@ -96,7 +99,8 @@ PADA, PADB = (1 << 20), (1 << 20) + 1  # inline-mm pad codes (never equal)
 
 
 def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
-            lut_k=0, nsg=False, neg=False):
+            lut_k=0, nsg=False, neg=False, nga=False, ngb=False,
+            nmm=False):
     inline = inline_mm or lut_k > 0
     if inline:
         # Equality-scoring fast path: no substitution planes at all.  The
@@ -218,13 +222,14 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
         )
         if is_sw:
             accv = accv_ref[...]
+        if neg or nga or ngb:
+            nal = nabl_ref[0, 0]
+            nbl = nabl_ref[0, 1]
+            lane_nb = y0 == (nbl - 1)
         if neg:
             # free end gaps: zero gap penalties in the last column (GAP_A /
             # E) and last row (GAP_B / F) — folded into the summands so the
             # recurrence mirrors alignment.c:128-155 exactly
-            nal = nabl_ref[0, 0]
-            nbl = nabl_ref[0, 1]
-            lane_nb = y0 == (nbl - 1)
             bo = jnp.where(lane_nb, zero_dt, gop)
             be = jnp.where(lane_nb, zero_dt, ge)
         if inline:
@@ -240,6 +245,11 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
         h_news = []
         for k in range(K):
             d = d0 + k
+            if nmm:
+                # no_mismatches (alignment.c:101-104): the MATCH matrix is
+                # mn unless the pair matches; only the inline equality mode
+                # qualifies (mm_eligible => code equality IS is_match)
+                im = av == bl
             if inline:
                 if inline_mm:
                     ss = jnp.where(av == bl, mt, mm)
@@ -271,8 +281,9 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
                     if is_sw:
                         ss = jnp.where(ss == POISON8,
                                        jnp.asarray(POISON, dt), ss)
-            if neg:
+            if neg or nga:
                 lastcol = y0 == (d - 1 - nal)  # lane where global x == na
+            if neg:
                 ao = jnp.where(lastcol, zero_dt, gop)
                 ae = jnp.where(lastcol, zero_dt, ge)
                 e_new = jnp.maximum(hs + ao, es + ae)
@@ -283,7 +294,16 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
             if clamp:
                 e_new = jnp.maximum(e_new, mn)
                 f_new = jnp.maximum(f_new, mn)
+            if nga:
+                # no_gaps_in_a: GAP_A reachable only in the last column
+                # (end-gap exception, alignment.c:121-137 + tests.c:65-98)
+                e_new = jnp.where(lastcol, e_new, mn)
+            if ngb:
+                # no_gaps_in_b: GAP_B reachable only in the last row
+                f_new = jnp.where(lane_nb, f_new, mn)
             m_arg = hs2 + ss
+            if nmm:
+                m_arg = jnp.where(im, m_arg, mn)
             h_new = jnp.maximum(m_arg, jnp.maximum(e_new, f_new))
 
             if inject_col0:
@@ -354,6 +374,7 @@ def _kernel(*refs, is_sw, BS, LBt, P, K, DK, dt, ss_i8, inline_mm=False,
 
 def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
                  inline_mm=False, lut_k=0, nsg=False, neg=False,
+                 nga=False, ngb=False, nmm=False,
                  chunked=False, LA=None):
     inline = inline_mm or lut_k > 0
     if chunked:
@@ -397,16 +418,18 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
          h2m_ref, h2ga_ref, h2gb_ref,
          cm_ref, cga_ref, cgb_ref) = refs
     """Full three-matrix fill emitting packed 2-bit direction codes (and the
-    M matrix for SW) — the Pallas replacement for the XLA dirs scan on the
-    default-flags fast path.
+    M matrix for SW) — the Pallas replacement for the XLA dirs scan.
 
-    Recurrence: alignment.c:89-167 (no free-end/no-gaps/no-mismatch modes
-    here — those stay on the XLA path).  Direction codes replicate
-    alignment_reverse_move's guard/equality/priority procedure
-    (GAP_A > GAP_B > MATCH, alignment.c:311-327): with default flags the
-    no-gaps guards are vacuous, and each equality ``pred + penalty == curr``
-    is evaluated on the same values the fill just computed, so codes match
-    the XLA scan on every cell a traceback can visit.
+    Recurrence: alignment.c:89-167, including the free end-gap rewrite
+    (nsg/neg) and the constrained modes (nga/ngb/nmm — no-gaps masks +
+    the no_mismatches MATCH mask, alignment.c:101-155).  Direction codes
+    replicate alignment_reverse_move's guard/equality/priority procedure
+    (GAP_A > GAP_B > MATCH, alignment.c:311-327): with unconstrained flags
+    the no-gaps guards are vacuous and the equalities reduce to the amax
+    shortcut; constrained modes evaluate the guards + direct
+    ``pred + penalty == curr`` tests on the masked fills — either way on
+    the same values the fill just computed, so codes match the XLA scan on
+    every cell a traceback can visit.
     """
     i32 = jnp.int32
     ib = pl.program_id(0)
@@ -521,7 +544,8 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
         pm1, pga1, pgb1 = sm_ref[...], sga_ref[...], sgb_ref[...]
         m1s, ga1s, gb1s = hm_ref[...], hga_ref[...], hgb_ref[...]
         m2s, ga2s, gb2s = h2m_ref[...], h2ga_ref[...], h2gb_ref[...]
-        if not is_sw or neg:
+        constrained = nga or ngb or nmm
+        if not is_sw or neg or constrained:
             nal = nabl_ref[0, 0]
             nbl = nabl_ref[0, 1]
             lane_nb = y0 == (nbl - 1)
@@ -545,6 +569,11 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             bom, boga, bogb = bom_ref[...], boga_ref[...], bogb_ref[...]
         for k in range(K):
             d = d0 + k
+            if nmm:
+                # no_mismatches (alignment.c:101-104): MATCH is mn unless
+                # the pair matches; inline equality mode only (mm_eligible
+                # => code equality IS is_match)
+                im = av == bl
             if inline:
                 if inline_mm:
                     # pad cells never feed valid cells and pad plane bytes
@@ -568,12 +597,13 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             amax = jnp.maximum(jnp.maximum(m2s, ga2s), gb2s)
             m_arg = amax + ss
             Mv = jnp.maximum(m_arg, zero_dt) if is_sw else m_arg
+            if neg or nga:
+                lastcol = y0 == (d + xoff - 1 - nal)
             if neg:
                 # free end gaps: zero penalties in the last column (GAP_A)
                 # / last row (GAP_B), folded into the summands so both the
                 # fill values AND the direction-code equalities below see
                 # them (alignment.c:128-155, 265-268)
-                lastcol = y0 == (d + xoff - 1 - nal)
                 a_open = jnp.where(lastcol, zero_dt, gop)
                 a_ext = jnp.where(lastcol, zero_dt, ge)
                 b_open = jnp.where(lane_nb, zero_dt, gop)
@@ -592,17 +622,55 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
             if is_sw:
                 ga_v = jnp.maximum(ga_v, zero_dt)
                 gb_v = jnp.maximum(gb_v, zero_dt)
+            if nmm:
+                Mv = jnp.where(im, Mv, mn)  # alignment.c:101-104
+            if nga:
+                # no_gaps_in_a: GAP_A reachable only in the last column
+                # (end-gap exception, alignment.c:121-137)
+                ga_v = jnp.where(lastcol, ga_v, mn)
+            if ngb:
+                gb_v = jnp.where(lane_nb, gb_v, mn)
 
-            # direction codes (priority GAP_A > GAP_B > MATCH); the
-            # ga2s + ss == Mv check reduces to ga2s == amax — except where
-            # the SW floor clamped Mv to 0 (then every pred+ss test fails
-            # and the XLA path emits DIR_FAIL; such cells have M == 0 and
-            # are never read by a traceback, but keep planes bit-identical)
-            dm = pick(ga2s == amax, gb2s == amax, m2s == amax)
-            if is_sw:
-                dm = jnp.where(m_arg == Mv, dm, 3)
-            dga = pick(s2 == ga_v, s3 == ga_v, s1 == ga_v)
-            dgb = pick(t2 == gb_v, t3 == gb_v, t1 == gb_v)
+            if not constrained:
+                # direction codes (priority GAP_A > GAP_B > MATCH); the
+                # ga2s + ss == Mv check reduces to ga2s == amax — except
+                # where the SW floor clamped Mv to 0 (then every pred+ss
+                # test fails and the XLA path emits DIR_FAIL; such cells
+                # have M == 0 and are never read by a traceback, but keep
+                # planes bit-identical)
+                dm = pick(ga2s == amax, gb2s == amax, m2s == amax)
+                if is_sw:
+                    dm = jnp.where(m_arg == Mv, dm, 3)
+                dga = pick(s2 == ga_v, s3 == ga_v, s1 == ga_v)
+                dgb = pick(t2 == gb_v, t3 == gb_v, t1 == gb_v)
+            else:
+                # constrained modes: direct pred+penalty == value tests on
+                # the MASKED fills, plus the no-gaps reachability guards of
+                # alignment_reverse_move (alignment.c:312-321) translated
+                # to lane coordinates (global x = d + xoff - y0 - 1, y =
+                # y0 + 1; dp.py:340-380 is the XLA original)
+                xd = d + xoff
+                x_is1 = y0 == (xd - 2)
+                x_is0 = y0 == (xd - 1)
+                xm1_na = y0 == (xd - 2 - nal)
+                ym1_nb = y0 == nbl
+
+                def andg(g, eq):
+                    return eq if g is None else g & eq
+
+                gA_diag = (x_is1 | xm1_na) if nga else None
+                gB_diag = (bstart | ym1_nb) if ngb else None
+                dm = pick(andg(gA_diag, ga2s + ss == Mv),
+                          andg(gB_diag, gb2s + ss == Mv),
+                          m2s + ss == Mv)
+                gA_up = (x_is0 | lastcol) if nga else None
+                dga = pick(andg(gA_up, s2 == ga_v),
+                           andg(gB_diag, s3 == ga_v),
+                           s1 == ga_v)
+                gB_left = lane_nb if ngb else None  # pred y==0 never holds
+                dgb = pick(andg(gA_diag, t2 == gb_v),
+                           andg(gB_left, t3 == gb_v),
+                           t1 == gb_v)
             dirs_ref[0, 0, k] = (dm | (dga << 2) | (dgb << 4)).astype(
                 jnp.uint8)
             if emit_m:
@@ -698,8 +766,9 @@ def int16_safe(sc, LA, LB, is_sw) -> bool:
     ops on this part — tools/exp_vpu.py --dtype int16 fails in the TPU
     compiler — so this gate stays unused; f32 is the fast mode instead.)"""
     L = LA + LB
-    mp = max(abs(sc.min_penalty), abs(sc.max_penalty))
-    vmax = max(0, sc.max_penalty) * L + mp
+    tmn, tmx = sc.true_penalty_bounds()
+    mp = max(abs(tmn), abs(tmx))
+    vmax = max(0, tmx) * L + mp
     run = abs(sc.gap_open) + L * abs(sc.gap_extend)
     return L < 32000 and max(vmax, run + 2 * mp) < 32000
 
@@ -710,11 +779,14 @@ def f32_safe(sc, LA, LB) -> bool:
     (f32 integer arithmetic is exact below the 24-bit mantissa limit).
 
     Bound: |any matrix value| <= (LA+LB+2) * mp + |gap_open| where mp is the
-    largest per-step penalty magnitude (substitution or gap step — the
-    reference tracks these as min/max_penalty, alignment_scoring.c:49-54);
-    the largest intermediate is m_arg = H + POISON."""
+    largest per-step penalty magnitude over CURRENT scores
+    (ScoringConfig.true_penalty_bounds — NOT min/max_penalty, which are
+    frozen at scoring_init for NEG_INF byte parity and miss CLI-mutated
+    match/mismatch values); the largest intermediate is m_arg = H +
+    POISON."""
     L = LA + LB + 2
-    mp = max(abs(sc.min_penalty), abs(sc.max_penalty),
+    tmn, tmx = sc.true_penalty_bounds()
+    mp = max(abs(tmn), abs(tmx),
              abs(sc.gap_open) + abs(sc.gap_extend), 1)
     bound = L * mp + abs(sc.gap_open)
     return bound + abs(POISON) < (1 << 24) - (1 << 22)
@@ -723,7 +795,8 @@ def f32_safe(sc, LA, LB) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "interpret", "unroll", "bs", "use_f32", "ss8",
-                     "inline_mm", "lut_k", "nsg", "neg"),
+                     "inline_mm", "lut_k", "nsg", "neg", "nga", "ngb",
+                     "nmm"),
 )
 def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   *, is_sw: bool, interpret: bool = False,
@@ -731,7 +804,8 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
                   ss8: bool = True, inline_mm: bool = False,
                   lut_k: int = 0,
                   match=None, mismatch=None, nsg: bool = False,
-                  neg: bool = False):
+                  neg: bool = False, nga: bool = False, ngb: bool = False,
+                  nmm: bool = False):
     """Batched optimal scores (NW corner H / SW best M) on TPU via Pallas.
 
     ac/bc: (B, LA)/(B, LBt) int32 compact codes; LBt (padded b length) should
@@ -896,9 +970,15 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         scal = scal.at[3].set(jnp.asarray(match, dt))
         scal = scal.at[4].set(jnp.asarray(mismatch, dt))
 
+    if nmm:
+        assert inline_mm, "no_mismatches needs the inline equality mode"
+    if nga or ngb:
+        assert inline_mm or lut_k > 0, \
+            "no-gaps modes need an in-kernel scoring mode"
     kernel = functools.partial(
         _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
         ss_i8=ss8, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
+        nga=nga, ngb=ngb, nmm=nmm,
     )
     if inline:
         if inline_mm:
@@ -956,7 +1036,7 @@ def _pack_lanes(v, nB, BS, P, ilv):
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
                      "use_f32", "ss8", "inline_mm", "lut_k", "nsg", "neg",
-                     "chunked"),
+                     "nga", "ngb", "nmm", "chunked"),
 )
 def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      *, is_sw: bool, emit_m: bool, interpret: bool = False,
@@ -964,7 +1044,9 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
                      ss8: bool = True, inline_mm: bool = False,
                      lut_k: int = 0,
                      match=None, mismatch=None, nsg: bool = False,
-                     neg: bool = False, chunked: bool = False,
+                     neg: bool = False, nga: bool = False,
+                     ngb: bool = False, nmm: bool = False,
+                     chunked: bool = False,
                      x_off=None, bcol=None):
     """Batched full fill with packed direction codes on TPU via Pallas —
     the fast path behind ``dp.fill_batch(emit_dirs=True)`` for default
@@ -1092,9 +1174,15 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
         scal = scal.at[3].set(jnp.asarray(match, dt))
         scal = scal.at[4].set(jnp.asarray(mismatch, dt))
 
+    if nmm:
+        assert inline_mm, "no_mismatches needs the inline equality mode"
+    if nga or ngb:
+        assert inline_mm or lut_k > 0, \
+            "no-gaps modes need an in-kernel scoring mode"
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
         DK=DK, dt=dt, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
+        nga=nga, ngb=ngb, nmm=nmm,
         chunked=chunked, LA=LA,
     )
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)

@@ -751,6 +751,89 @@ def test_pallas_dirs_match_xla(is_sw, use_f32):
             np.testing.assert_array_equal(np.asarray(corner)[j], xc[j])
 
 
+_CONSTRAINED = [
+    dict(no_gaps_in_a=True),
+    dict(no_gaps_in_b=True),
+    dict(no_gaps_in_a=True, no_gaps_in_b=True),
+    dict(no_mismatches=True),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(_CONSTRAINED)))
+def test_pallas_constrained_modes_nw(monkeypatch, idx):
+    """--nogapsin1/--nogapsin2/--nomismatches ride the Pallas kernels now:
+    align_batch and score_batch through the device path must equal the
+    host reference exactly (incl. the end-gap exception,
+    alignment.c:121-137 + tests.c:65-98)."""
+    from seqalign_tpu.aligners import NeedlemanWunsch
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    kw = _CONSTRAINED[idx]
+    sc = ScoringConfig(1, -2, -4, -1, **kw)
+    rng = np.random.default_rng(17 + idx)
+    sa = ["".join(rng.choice(list("acgt"), rng.integers(2, 20)))
+          for _ in range(6)]
+    sb = ["".join(rng.choice(list("acgt"), rng.integers(2, 20)))
+          for _ in range(6)]
+    nw = NeedlemanWunsch(sc)
+    got = nw.align_batch(sa, sb)
+    want = [host_dp.nw_align(sc, x, y) for x, y in zip(sa, sb)]
+    assert got == want, kw
+    scores = nw.score_batch(sa, sb)
+    assert list(scores) == [w.score for w in want], kw
+
+
+@pytest.mark.parametrize("idx", range(len(_CONSTRAINED) + 1))
+def test_pallas_constrained_modes_sw(monkeypatch, idx):
+    """SW constrained modes (incl. the LCS combo no_gaps+no_mismatch+
+    case_sensitive) through the Pallas dirs kernel: hit streams equal the
+    host path."""
+    from seqalign_tpu.aligners import SmithWaterman
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    combos = _CONSTRAINED + [dict(no_gaps_in_a=True, no_gaps_in_b=True,
+                                  no_mismatches=True, case_sensitive=True)]
+    kw = combos[idx]
+    sc = ScoringConfig(1, -1, -4, -1, **kw)
+    rng = np.random.default_rng(29 + idx)
+    sa = ["".join(rng.choice(list("acgt"), rng.integers(2, 20)))
+          for _ in range(5)]
+    sb = ["".join(rng.choice(list("acgt"), rng.integers(2, 20)))
+          for _ in range(5)]
+    for it, x, y in zip(SmithWaterman(sc).align_batch(sa, sb), sa, sb):
+        got = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+               for h in it]
+        want = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                for h in host_dp.HostSwHits(sc, x, y)]
+        assert got == want, (kw, x, y)
+
+
+def test_lcs_device_pallas(monkeypatch):
+    """The LCS CLI recipe (SW self-alignment, no_gaps+no_mismatches+
+    case_sensitive, lcs_cmdline.c:39-49) through the device/Pallas path
+    must produce the host hit stream."""
+    import seqalign_tpu.aligners as al
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(31)
+    for _ in range(4):
+        s = "".join(rng.choice(list("acgt"), rng.integers(6, 28)))
+        monkeypatch.setenv("SEQALIGN_FORCE", "device")
+        got = list(al.lcs_hits(s))
+        monkeypatch.setenv("SEQALIGN_FORCE", "host")
+        want = list(al.lcs_hits(s))
+        assert got == want, s
+
+
 @pytest.mark.parametrize("cfg", ["wild", "swap", "matrix"])
 def test_aligner_pallas_dirs_lut_wiring(monkeypatch, cfg):
     """align_batch on matrix-scoring configs must route through the Pallas
