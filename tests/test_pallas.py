@@ -286,6 +286,21 @@ def test_pallas_scores_lut_protein_alphabet(monkeypatch):
     assert al._lut_k(subK) == 0
 
 
+def test_f32_safe_uses_true_bounds():
+    """min/max_penalty are frozen at scoring_init for NEG_INF byte parity
+    (CLI flag mutations never recompute them) — the f32 exactness gate
+    must NOT trust them.  A CLI-style mutated huge mismatch keeps
+    min_penalty at the preset's -5 but must still disqualify f32."""
+    from seqalign_tpu.ops.pallas_dp import f32_safe
+
+    sc = scoring_system_default()
+    assert f32_safe(sc, 512, 512)
+    sc.mismatch = -(1 << 23)  # CLI mutation: no recompute
+    sc._luts = None
+    assert sc.min_penalty == -5  # parity: frozen
+    assert not f32_safe(sc, 512, 512)  # exactness: real bound
+
+
 def test_mm_eligible_gates():
     from seqalign_tpu.scoring.config import ScoringConfig
 
