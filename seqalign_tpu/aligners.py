@@ -92,6 +92,20 @@ def _pallas_eligible(sc: ScoringConfig) -> bool:
     return sc.gap_open <= 0
 
 
+def _pallas_failed(what: str) -> bool:
+    """Shared fallback policy for the Pallas call sites: Mosaic
+    compile/VMEM failures on untested width/alphabet combos degrade to the
+    XLA path; interpret mode re-raises so tests never mask a kernel bug.
+    Call from an ``except`` block; returns True to request the fallback."""
+    if _pallas_mode() == "interpret":
+        raise
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "Pallas %s path failed; falling back to XLA", what, exc_info=True)
+    return True
+
+
 def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     """Scores-only batch dispatch: host numpy for small workloads, Pallas
     kernel when eligible, XLA scan otherwise.  Bit-identical results every
@@ -166,16 +180,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             )
             return np.asarray(out)
         except Exception:
-            # Mosaic compile/VMEM failures on untested width/alphabet
-            # combos degrade to the XLA scan; interpret mode re-raises so
-            # tests never mask a kernel bug.
-            if _pallas_mode() == "interpret":
-                raise
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "Pallas scores path failed; falling back to XLA",
-                exc_info=True)
+            _pallas_failed("scores")
     out, _, _ = dp.fill_batch(
         sc, seqs_a, seqs_b, is_sw=is_sw, emit_dirs=False, pow2_pad=True,
         validate=False,
@@ -320,15 +325,7 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         geo = pack_geometry(la, lb, bs=bs, inline=inline or lut > 0)
         dirs_np = np.asarray(dirs)
     except Exception:
-        # Mosaic compile/VMEM failures on untested width/alphabet combos
-        # degrade to the XLA dirs scan; interpret mode re-raises so tests
-        # never mask a kernel bug.
-        if _pallas_mode() == "interpret":
-            raise
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "Pallas dirs path failed; falling back to XLA", exc_info=True)
+        _pallas_failed("dirs")
         return None
     corner_np = np.asarray(corner) if corner is not None else None
 
@@ -363,7 +360,8 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     nb) or None for the XLA chunked path."""
     from .ops import dp
 
-    if not _pallas_eligible(sc):
+    global _LONG_PALLAS_OK
+    if not (_pallas_eligible(sc) and _LONG_PALLAS_OK):
         return None
     if sc.no_gaps_in_a or sc.no_gaps_in_b or sc.no_mismatches:
         return None  # constrained modes: XLA chunked path
@@ -408,13 +406,10 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
             extract_min=mins, subK=subK, lut_k=lut,
         )
     except Exception:
-        if _pallas_mode() == "interpret":
-            raise
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "Pallas chunked path failed; falling back to XLA",
-            exc_info=True)
+        # memoize: a per-pair fallback (align_long) would otherwise retry
+        # the same failing compile once per pair
+        _LONG_PALLAS_OK = False
+        _pallas_failed("chunked")
         return None
     D_c = chunk + lb - 1
 
@@ -433,15 +428,20 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     return dirs_for, mp, corner, na, nb
 
 
-def _long_subbuckets(idx, seqs_b):
-    """Group a long-pair bucket by pow2 |b| so one chunked fill serves each
-    group without cross-pair lane-padding waste."""
+_LONG_PALLAS_OK = True  # set False after a Mosaic failure (see except above)
+
+
+def _long_subbuckets(idx, seqs_a, seqs_b):
+    """Group a long-pair bucket by (pow2 |a|, pow2 |b|) so one chunked fill
+    serves each group without cross-pair lane-padding waste — and without a
+    short-|a| pair paying the group max's chunk count."""
     from .ops import dp
 
     groups = {}
     for i in idx:
-        groups.setdefault(dp._next_pow2(max(1, len(seqs_b[i]))),
-                          []).append(i)
+        k = (dp._next_pow2(max(1, len(seqs_a[i]))),
+             dp._next_pow2(max(1, len(seqs_b[i]))))
+        groups.setdefault(k, []).append(i)
     return [groups[k] for k in sorted(groups)]
 
 
@@ -488,7 +488,7 @@ class NeedlemanWunsch:
         results: List[Optional[Alignment]] = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
             if key is None:  # long pairs: chunked boundary-carry path
-                for sub in _long_subbuckets(idx, seqs_b):
+                for sub in _long_subbuckets(idx, seqs_a, seqs_b):
                     ga = [seqs_a[i] for i in sub]
                     gb = [seqs_b[i] for i in sub]
                     fast = _pallas_long_fill(self.scoring, ga, gb,
@@ -635,7 +635,7 @@ class SmithWaterman:
             mins = None if min_scores is None else [min_scores[i]
                                                    for i in idx]
             if key is None:  # long pairs: chunked boundary-carry path
-                for sub in _long_subbuckets(idx, seqs_b):
+                for sub in _long_subbuckets(idx, seqs_a, seqs_b):
                     ga = [seqs_a[i] for i in sub]
                     gb = [seqs_b[i] for i in sub]
                     msub = None if min_scores is None else \

@@ -379,7 +379,9 @@ def _dirs_kernel(*refs, is_sw, emit_m, BS, LBt, P, K, DK, dt,
     inline = inline_mm or lut_k > 0
     if chunked:
         # Boundary-column carry (long-sequence decomposition,
-        # dp.fill_chunked's Pallas analog, requires inline_mm): the carried
+        # dp.fill_chunked's Pallas analog; needs an in-kernel scoring mode
+        # — equality or LUT planes, which are b-indexed and therefore
+        # identical across a-chunks): the carried
         # column x_local = 0 enters exactly where the kernel already
         # injects the closed-form x=0 boundary — lane d-1 at diagonal d
         # wants bcol[y=d], which IS the bcol vector's lane d-1 — so the
@@ -902,21 +904,9 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
             bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
             bl = bl.reshape(nB, BS, LN)
         else:
-            # static per-a-letter score planes: pl[c][lane] =
-            # subK[c, b[lane]], with b-pad lanes baked to POISON (pad
-            # column Kb); layout matches bl's lane packing
-            subKp = jnp.pad(subK, ((0, 0), (0, 1)),
-                            constant_values=POISON).astype(dt)
-            bcp = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
-                < nb[:, None],
-                bc, Kb,
-            )
-            pt = subKp[:, bcp]  # (Ka, Bp, LBt)
-            pt = pt.reshape(Ka, nB, BS, P, LBt)
-            pt = pt.transpose(1, 0, 2, 4, 3) if P > 1 else \
-                pt.transpose(1, 0, 2, 3, 4)
-            bl = pt.reshape(nB, Ka, BS, LN)
+            # static per-a-letter score planes (shared helper — layout in
+            # lockstep with the kernels' lane math)
+            bl = _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -1022,6 +1012,26 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     return out[:B].astype(jnp.int32)
 
 
+def _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt):
+    """Per-a-letter VMEM score planes for the in-kernel LUT mode:
+    pl[c][lane] = subK[c, b[lane]], with b-pad lanes baked to POISON (pad
+    column).  Lane layout matches the inline kernels' packing (interleaved
+    when P > 1).  Shared by pallas_scores and pallas_fill_dirs — the
+    layout here and the kernels' lane math must stay in lockstep."""
+    Ka, Kb = subK.shape
+    subKp = jnp.pad(subK, ((0, 0), (0, 1)),
+                    constant_values=POISON).astype(dt)
+    bcp = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+        bc, Kb,
+    )
+    pt = subKp[:, bcp]  # (Ka, Bp, LBt)
+    pt = pt.reshape(Ka, nB, BS, P, LBt)
+    pt = pt.transpose(1, 0, 2, 4, 3) if P > 1 else \
+        pt.transpose(1, 0, 2, 3, 4)
+    return pt.reshape(nB, Ka, BS, P * LBt)
+
+
 def _pack_lanes(v, nB, BS, P, ilv):
     """(Bp, LBt) per-pair values -> (nB, BS, LN) in the kernel's lane
     layout (block: pair-contiguous; ilv: interleaved)."""
@@ -1107,19 +1117,8 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
             bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
             bl = bl.reshape(nB, BS, LN)
         else:
-            # static per-a-letter score planes (see pallas_scores)
-            subKp = jnp.pad(subK, ((0, 0), (0, 1)),
-                            constant_values=POISON).astype(dt)
-            bcp = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
-                < nb[:, None],
-                bc, Kb,
-            )
-            pt = subKp[:, bcp]  # (Ka, Bp, LBt)
-            pt = pt.reshape(Ka, nB, BS, P, LBt)
-            pt = pt.transpose(1, 0, 2, 4, 3) if P > 1 else \
-                pt.transpose(1, 0, 2, 3, 4)
-            bl = pt.reshape(nB, Ka, BS, LN)
+            # static per-a-letter score planes (shared helper)
+            bl = _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],

@@ -64,6 +64,62 @@ def test_fuzz_sw_matches_oracle(flags):
         assert got == want, (a, b)
 
 
+_DEVICE_FLAGSETS = [
+    dict(),
+    dict(no_start_gap_penalty=True, no_end_gap_penalty=True),
+    dict(no_gaps_in_a=True),
+    dict(no_gaps_in_b=True, case_sensitive=True),
+    dict(no_mismatches=True),
+    dict(no_gaps_in_a=True, no_gaps_in_b=True, no_mismatches=True,
+         case_sensitive=True),  # the LCS recipe
+]
+
+
+@pytest.mark.parametrize("flags", _DEVICE_FLAGSETS,
+                         ids=lambda f: "+".join(f) or "dflt")
+def test_fuzz_device_pallas_matches_host(monkeypatch, flags):
+    """Randomized batches through the FORCED device path (Pallas interpret)
+    across the full mode space — equality, wildcard-LUT, and swap-LUT
+    scoring composed with the constrained/free-gap flags — must reproduce
+    the host reference exactly (alignments and SW hit streams)."""
+    from seqalign_tpu.ops import host_dp
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(7 + hash(tuple(sorted(flags))) % 2**31)
+    for trial in range(2):
+        m = int(rng.integers(0, 4))
+        mm = int(rng.integers(-6, min(1, m + 1)))
+        go = int(rng.integers(-8, 1))
+        ge = int(rng.integers(-3, 0))
+        sc = ScoringConfig(m, mm, go, ge, **flags)
+        alpha = "acgt"
+        if not flags.get("no_mismatches") and rng.random() < 0.5:
+            # matrix scoring -> LUT mode (no_mismatches needs equality)
+            if rng.random() < 0.5:
+                sc.add_wildcard("n", int(rng.integers(-2, 3)))
+                alpha = "acgtn"
+            else:
+                sc.add_mutation("a", "g", int(rng.integers(-2, 3)))
+        sa = ["".join(rng.choice(list(alpha), rng.integers(1, 24)))
+              for _ in range(3)]
+        sb = ["".join(rng.choice(list(alpha), rng.integers(1, 24)))
+              for _ in range(3)]
+        nw_ok = not (sc.no_mismatches and (sc.no_gaps_in_a or
+                                           sc.no_gaps_in_b))
+        if nw_ok:
+            got = NeedlemanWunsch(sc).align_batch(sa, sb)
+            want = [host_dp.nw_align(sc, x, y) for x, y in zip(sa, sb)]
+            assert got == want, (flags, trial, sa, sb)
+        for it, x, y in zip(SmithWaterman(sc).align_batch(sa, sb), sa, sb):
+            hit_got = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                       for h in it]
+            hit_want = [(h.score, h.pos_a, h.pos_b, h.result_a,
+                         h.result_b) for h in host_dp.HostSwHits(sc, x, y)]
+            assert hit_got == hit_want, (flags, trial, x, y)
+
+
 def test_sharded_reader_partitions_pairs(tmp_path):
     p = tmp_path / "x.fa"
     recs = [f">{i}\nacg{'t' * (i % 3 + 1)}\n" for i in range(10)]

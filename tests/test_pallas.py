@@ -831,6 +831,39 @@ def test_pallas_constrained_modes_sw(monkeypatch, idx):
         assert got == want, (kw, x, y)
 
 
+@pytest.mark.parametrize("nga,ngb", [(True, False), (False, True),
+                                     (True, True)])
+def test_pallas_constrained_lut(monkeypatch, nga, ngb):
+    """No-gaps modes compose with LUT scoring (wildcard matrix): full
+    alignments and SW hit streams through the Pallas kernels equal the
+    host path."""
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    sc = ScoringConfig(2, -3, -5, -2, no_gaps_in_a=nga, no_gaps_in_b=ngb)
+    sc.add_wildcard("n", 1)
+    rng = np.random.default_rng(37 + nga + 2 * ngb)
+    sa = ["".join(rng.choice(list("acgtn"), rng.integers(2, 18)))
+          for _ in range(4)]
+    sb = ["".join(rng.choice(list("acgtn"), rng.integers(2, 18)))
+          for _ in range(4)]
+    nw = NeedlemanWunsch(sc)
+    got = nw.align_batch(sa, sb)
+    want = [host_dp.nw_align(sc, x, y) for x, y in zip(sa, sb)]
+    assert got == want
+    assert list(nw.score_batch(sa, sb)) == [w.score for w in want]
+    for it, x, y in zip(SmithWaterman(sc).align_batch(sa, sb), sa, sb):
+        hit_got = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                   for h in it]
+        hit_want = [(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                    for h in host_dp.HostSwHits(sc, x, y)]
+        assert hit_got == hit_want, (x, y)
+
+
 def test_lcs_device_pallas(monkeypatch):
     """The LCS CLI recipe (SW self-alignment, no_gaps+no_mismatches+
     case_sensitive, lcs_cmdline.c:39-49) through the device/Pallas path

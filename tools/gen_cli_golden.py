@@ -41,8 +41,10 @@ def build_inputs():
     with open(os.path.join(INP, "reads.fq"), "w") as fh:
         fh.write("@r1\nacgtacgncc\n+\nIIIIIIIIII\n"
                  "@r2\nacgtacktcc\n+\nIIIIIIIIII\n")
-    with gzip.open(os.path.join(INP, "pairs.fa.gz"), "wt") as fh:
-        fh.write(">gz1\nacgtacgtgg\n>gz2\nacgtccgtgg\n")
+    # mtime=0 so regeneration is byte-reproducible (no gzip-header churn)
+    with open(os.path.join(INP, "pairs.fa.gz"), "wb") as raw, \
+            gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as fh:
+        fh.write(b">gz1\nacgtacgtgg\n>gz2\nacgtccgtgg\n")
     with open(os.path.join(INP, "submat.txt"), "w") as fh:
         fh.write("# test matrix\n  a c g t\na 2 -1 -2 -1\nc -1 3 -1 -2\n"
                  "g -2 -1 3 -1\nt -1 -2 -1 2\n")

@@ -59,6 +59,14 @@ int main(void)
 
   while(fgets(line, sizeof(line), stdin) != NULL)
   {
+    // a case line longer than MAXLINE would be split by fgets and silently
+    // parsed as two garbage cases — fail loudly instead
+    if(strlen(line) == sizeof(line) - 1 && line[sizeof(line) - 2] != '\n')
+    {
+      fprintf(stderr, "golden_gen: case line exceeds %d bytes — raise "
+              "MAXLINE\n", MAXLINE);
+      exit(1);
+    }
     char *tok[MAXTOK];
     int ntok = 0;
     for(char *p = strtok(line, " \t\r\n"); p && ntok < MAXTOK;
