@@ -50,10 +50,13 @@ def _fit(make_scan_fn, inputs_for, vs, reps=7):
     return (res[vs[-1]] - res[vs[0]]) / (vs[-1] - vs[0])
 
 
-def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False):
+def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
+                 alpha=b"acgt"):
     """Per-fill seconds for one (B, L) config on the current backend.
     kind: 'scores' | 'dirs'.  ``lut_mode`` forces the in-kernel LUT-scoring
-    mode (per-a-letter VMEM planes) instead of equality/plane scoring."""
+    mode (per-a-letter VMEM planes) instead of equality/plane scoring.
+    ``alpha`` sets the sequence alphabet (protein rows exercise the
+    24-letter plane-streaming path)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,9 +68,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False):
     interp = jax.default_backend() == "cpu"  # CI smoke: interpret mode
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
     mn = np.int32(sc.dp_floor(is_sw))
-    lut = np.frombuffer(b"acgt", dtype=np.uint8)
+    lut = np.frombuffer(alpha, dtype=np.uint8)
     rng = np.random.default_rng(0)
-    bseq = lut[rng.integers(0, 4, (B, L))]
+    bseq = lut[rng.integers(0, len(lut), (B, L))]
     _, _, subK, imK = dp.compact_inputs(sc, bseq, bseq)
     inline = (not lut_mode) and dp.mm_eligible(sc) and max(1, TL // L) == 1
     lutk = 0
@@ -89,7 +92,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False):
         xs = []
         for i in range(V):
             aseq = lut[np.random.default_rng(1000 + i).integers(
-                0, 4, (B, L))]
+                0, len(lut), (B, L))]
             if inline:
                 xs.append(dp.compact_inputs_mm(sc, aseq, bseq)[0])
             else:
@@ -161,23 +164,32 @@ def main():
     # kpad rounding; wildcard makes it non-mm-eligible like real matrix use)
     nwq = scoring_system_default().add_wildcard("n", 0)
 
+    from seqalign_tpu.scoring.presets import scoring_system_BLOSUM62
+
+    dna = b"acgt"
+    prot = b"ARNDCQEGHILKMFPSTWYV"
     sweep = []
     configs = [
-        # (label, sc, B, L, kind, is_sw, lut)
-        ("nw_scores_B256_L512", nw, 256, 512, "scores", False, False),
-        ("nw_scores_B64_L1024", nw, 64, 1024, "scores", False, False),
-        ("nw_scores_B256_L128", nw, 256, 128, "scores", False, False),
-        ("sw_scores_B256_L512", sw, 256, 512, "scores", True, False),
-        ("nw_dirs_B256_L512", nw, 256, 512, "dirs", False, False),
-        ("sw_dirs_B128_L512", sw, 128, 512, "dirs", True, False),
-        ("nw_scores_lutQ8_B256_L512", nwq, 256, 512, "scores", False, True),
-        ("nw_dirs_lutQ8_B256_L512", nwq, 256, 512, "dirs", False, True),
+        # (label, sc, B, L, kind, is_sw, lut, alpha)
+        ("nw_scores_B256_L512", nw, 256, 512, "scores", False, False, dna),
+        ("nw_scores_B64_L1024", nw, 64, 1024, "scores", False, False, dna),
+        ("nw_scores_B256_L128", nw, 256, 128, "scores", False, False, dna),
+        ("sw_scores_B256_L512", sw, 256, 512, "scores", True, False, dna),
+        ("nw_dirs_B256_L512", nw, 256, 512, "dirs", False, False, dna),
+        ("sw_dirs_B128_L512", sw, 128, 512, "dirs", True, False, dna),
+        ("nw_scores_lutQ8_B256_L512", nwq, 256, 512, "scores", False, True,
+         dna),
+        ("nw_dirs_lutQ8_B256_L512", nwq, 256, 512, "dirs", False, True,
+         dna),
+        # 24-letter protein matrix: the plane-streaming path
+        ("sw_scores_blosum62_B128_L512", scoring_system_BLOSUM62(), 128,
+         512, "scores", True, False, prot),
     ]
     headline = None
-    for label, sc, B, L, kind, is_sw, lut in configs:
+    for label, sc, B, L, kind, is_sw, lut, alpha in configs:
         try:
             per = _bench_shape(sc, B, L, kind=kind, is_sw=is_sw, vs=(2, 66),
-                               lut_mode=lut)
+                               lut_mode=lut, alpha=alpha)
         except Exception as e:  # noqa: BLE001 — isolate per-row failures
             if label == "nw_scores_B256_L512":
                 raise  # the headline row must not fail silently
