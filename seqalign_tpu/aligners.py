@@ -92,6 +92,13 @@ def _pallas_eligible(sc: ScoringConfig) -> bool:
     return sc.gap_open <= 0
 
 
+def _pallas_unroll(default: int) -> int:
+    """SEQALIGN_UNROLL overrides the diagonal unroll depth K for perf
+    experiments (short-b fills are grid-step-bound — ROADMAP item 1; the
+    measured defaults stay untouched)."""
+    return int(os.environ.get("SEQALIGN_UNROLL", "0")) or default
+
+
 def _pallas_failed(what: str) -> bool:
     """Shared fallback policy for the Pallas call sites: Mosaic
     compile/VMEM failures on untested width/alphabet combos degrade to the
@@ -176,7 +183,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                 # L=512).  The unrolled temporaries live on the kernel's
                 # VMEM stack, so K=16 only fits standard 512-lane rows
                 # (LBt=1024 overflowed by 24KB)
-                unroll=16 if inline and lb <= 512 else 8,
+                unroll=_pallas_unroll(16 if inline and lb <= 512 else 8),
             )
             return np.asarray(out)
         except Exception:
