@@ -413,10 +413,10 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
             extract_min=mins, subK=subK, lut_k=lut,
         )
     except Exception:
+        _pallas_failed("chunked")  # interpret mode re-raises here
         # memoize: a per-pair fallback (align_long) would otherwise retry
         # the same failing compile once per pair
         _LONG_PALLAS_OK = False
-        _pallas_failed("chunked")
         return None
     D_c = chunk + lb - 1
 

@@ -628,6 +628,41 @@ def test_pallas_long_fill_lut(monkeypatch, cfg):
     assert seen and all(k > 0 for k in seen), seen
 
 
+def test_pallas_long_fill_failure_memo(monkeypatch):
+    """A Mosaic failure in the chunked Pallas path memoizes: the per-pair
+    fallback must not retry the failing compile once per pair, and
+    interpret mode re-raises instead of falling back."""
+    import seqalign_tpu.aligners as al
+    import seqalign_tpu.ops.pallas_dp as pdp
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(pdp, "fill_dirs_long", boom)
+    monkeypatch.setattr(al, "_LONG_PALLAS_OK", True)
+    # interpret mode: the failure must propagate (tests never mask bugs)
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    with pytest.raises(RuntimeError):
+        al._pallas_long_fill(al.scoring_system_default(), ["acgt"], ["ac"],
+                             is_sw=False, chunk=16)
+    assert al._LONG_PALLAS_OK  # interpret re-raise happens before the memo?
+    # non-interpret: swallow, memoize, and skip Pallas on the next call
+    monkeypatch.delenv("SEQALIGN_PALLAS")
+    calls.clear()
+    sc = al.scoring_system_default()
+    monkeypatch.setattr(al, "_pallas_eligible", lambda _sc: True)
+    assert al._pallas_long_fill(sc, ["acgt"], ["ac"], is_sw=False,
+                                chunk=16) is None
+    assert calls == [1] and not al._LONG_PALLAS_OK
+    assert al._pallas_long_fill(sc, ["acgt"], ["ac"], is_sw=False,
+                                chunk=16) is None
+    assert calls == [1]  # memoized: no second compile attempt
+
+
 def test_pallas_long_bucket_batched(monkeypatch):
     """The long-pair bucket batches through one chunked Pallas fill per
     |b| group; alignments and hit streams must equal the host path."""
