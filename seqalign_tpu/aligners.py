@@ -49,7 +49,18 @@ LONG_PAIR_CELLS = 64_000_000
 _DUMMY_TABLE = np.zeros((8, 8), np.int32)
 
 
-def _route(total_cells: int, n_pairs: int) -> str:
+def _route(total_cells: int, n_pairs: int,
+           sc: Optional[ScoringConfig] = None) -> str:
+    # Sentinel-wrap regime (NW only — SW clamps at 0 and has no sentinel,
+    # so SW call sites pass sc=None): constrained modes whose per-step
+    # penalties exceed the frozen |min_penalty| headroom.  There the
+    # REFERENCE overflows int32 (C UB) and aborts with 'Program error:
+    # traceback fail'; our int32 device fills would wrap the same way, so
+    # this regime always takes the int64 host path and returns the
+    # mathematically optimal alignment instead (documented deviation,
+    # README).  Checked before SEQALIGN_FORCE: semantics beat test pins.
+    if sc is not None and sc.sentinel_wrap_risk():
+        return "host"
     force = os.environ.get("SEQALIGN_FORCE", "")
     if force in ("host", "device"):
         return force
@@ -118,7 +129,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     kernel when eligible, XLA scan otherwise.  Bit-identical results every
     way (tests/test_pallas.py, tests/test_host_path.py)."""
     cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
-    if _route(cells, len(seqs_a)) == "host":
+    if _route(cells, len(seqs_a), None if is_sw else sc) == "host":
         out = np.zeros(len(seqs_a), np.int32)
         for i, (a, b) in enumerate(zip(seqs_a, seqs_b)):
             M, Ga, Gb = host_dp.fill_matrices(sc, a, b, is_sw)
@@ -483,7 +494,7 @@ class NeedlemanWunsch:
         self, seqs_a: Sequence[str], seqs_b: Sequence[str]
     ) -> List[Alignment]:
         cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
-        if _route(cells, len(seqs_a)) == "host":
+        if _route(cells, len(seqs_a), self.scoring) == "host":
             return [host_dp.nw_align(self.scoring, a, b)
                     for a, b in zip(seqs_a, seqs_b)]
         return self._align_batch_device(seqs_a, seqs_b)
@@ -570,7 +581,7 @@ class NeedlemanWunsch:
         """One fill shared by the alignment and the (M, Ga, Gb) row-major
         matrices (--printmatrices parity without a second fill — the
         reference prints from live fill state, tools/nw_cmdline.c:107-110)."""
-        if _route(len(seq_a) * len(seq_b), 1) == "host":
+        if _route(len(seq_a) * len(seq_b), 1, self.scoring) == "host":
             return host_dp.nw_align_with_matrices(self.scoring, seq_a, seq_b)
         from .ops import dp
         from .ops.traceback import nw_traceback
@@ -627,7 +638,7 @@ class SmithWaterman:
         On the device paths it enables on-device candidate extraction, so
         the M matrix never transfers to host."""
         cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
-        if _route(cells, len(seqs_a)) == "host":
+        if _route(cells, len(seqs_a)) == "host":  # SW: sentinel-free
             return [host_dp.HostSwHits(self.scoring, a, b,
                                        history=self.history)
                     for a, b in zip(seqs_a, seqs_b)]
@@ -771,7 +782,7 @@ class SmithWaterman:
 
     def align_with_matrices(self, seq_a: str, seq_b: str):
         """One fill shared by the hit iterator and the row-major matrices."""
-        if _route(len(seq_a) * len(seq_b), 1) == "host":
+        if _route(len(seq_a) * len(seq_b), 1) == "host":  # SW: no sentinel
             mats = host_dp.fill_matrices(self.scoring, seq_a, seq_b,
                                          is_sw=True)
             return host_dp.HostSwHits(self.scoring, seq_a, seq_b,

@@ -134,6 +134,23 @@ class ScoringConfig:
     def dp_floor(self, is_sw: bool) -> int:
         return 0 if is_sw else self.neg_inf
 
+    def sentinel_wrap_risk(self) -> bool:
+        """True in the int32 sentinel-overflow regime: a constrained mode
+        (no-gaps/no-mismatch masking fills whole regions with NEG_INF)
+        combined with any per-step penalty larger than the frozen
+        |min_penalty| headroom.  One step off a masked cell then computes
+        NEG_INF - step < INT_MIN — C UB in the reference (it aborts with
+        'Program error: traceback fail', garbage matrices); our int32
+        device fills would wrap identically.  Callers route this regime to
+        the int64 host path instead (aligners._route)."""
+        if not (self.no_gaps_in_a or self.no_gaps_in_b
+                or self.no_mismatches):
+            return False
+        tmn, tmx = self.true_penalty_bounds()
+        step = max(abs(tmn), abs(tmx),
+                   abs(self.gap_open) + abs(self.gap_extend))
+        return step > abs(self.min_penalty)
+
     def true_penalty_bounds(self) -> tuple:
         """(min, max) over the CURRENT per-step scores: match/mismatch, gap
         steps, swap and wildcard scores.  Unlike ``min_penalty`` /

@@ -899,6 +899,41 @@ def test_pallas_constrained_lut(monkeypatch, nga, ngb):
         assert hit_got == hit_want, (x, y)
 
 
+def test_sentinel_wrap_regime_routes_host(monkeypatch):
+    """NW no-gaps with penalties beyond the frozen |min_penalty| headroom:
+    the reference overflows int32 (UB) and aborts; we detect the regime
+    and always use the int64 host fill — even under SEQALIGN_FORCE=device
+    — returning the mathematically optimal alignment (README known
+    deviations).  SW (sentinel-free) keeps its device routing."""
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman, _route
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    # the live-sweep repro: --printscores --gapopen -7 --nogaps
+    sc = ScoringConfig(1, -2, -7, -1, no_gaps_in_a=True, no_gaps_in_b=True)
+    assert sc.sentinel_wrap_risk()
+    a, b = "catcgggancncgnaacccnaantcg", "cnnncgagtcgcactnactacntnacct"
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    got = NeedlemanWunsch(sc).align_batch([a], [b])[0]
+    want = host_dp.nw_align(sc, a, b)
+    assert (got.result_a, got.result_b, got.score) == \
+        (want.result_a, want.result_b, want.score)
+    assert got.score == -37  # pinned from the reference-crash repro
+    # LCS-style SW configs are sentinel-free: not in the regime
+    lcs_sc = ScoringConfig(1, -1, -4, -1, no_gaps_in_a=True,
+                           no_gaps_in_b=True, no_mismatches=True,
+                           case_sensitive=True)
+    assert _route(10**9, 10**3) == "device"  # force respected for SW sites
+    it = SmithWaterman(lcs_sc).align_batch([a.replace("n", "t")],
+                                           [a.replace("n", "t")])[0]
+    host = host_dp.HostSwHits(lcs_sc, a.replace("n", "t"),
+                              a.replace("n", "t"))
+    assert [(h.score, h.pos_a, h.pos_b) for h in it] == \
+        [(h.score, h.pos_a, h.pos_b) for h in host]
+
+
 def test_lcs_device_pallas(monkeypatch):
     """The LCS CLI recipe (SW self-alignment, no_gaps+no_mismatches+
     case_sensitive, lcs_cmdline.c:39-49) through the device/Pallas path
