@@ -559,6 +559,10 @@ class NeedlemanWunsch:
         scoring run the carry through the Pallas dirs kernel
         (fill_dirs_long); large-alphabet matrices take the XLA chunked
         scan."""
+        if self.scoring.sentinel_wrap_risk():
+            # int32 device fills would wrap like the reference's UB crash
+            # (see _route); slow-but-correct int64 host fill instead
+            return host_dp.nw_align(self.scoring, seq_a, seq_b)
         from .ops import dp
         from .ops.traceback import ChunkedDirs, nw_traceback
 

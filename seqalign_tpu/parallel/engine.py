@@ -107,8 +107,14 @@ def sharded_align_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     """Full alignments with the fill sharded over the mesh: NW returns a
     list of Alignment, SW a list of SwHitIterator — identical results to the
     single-device path (the traceback walks the same direction codes)."""
+    from ..ops import host_dp
     from ..ops.traceback import SwHitIterator, nw_traceback
 
+    if not is_sw and sc.sentinel_wrap_risk():
+        # NW sentinel-overflow regime: int32 device fills would wrap like
+        # the reference's UB crash — int64 host fills instead (see
+        # aligners._route; README known deviations)
+        return [host_dp.nw_align(sc, x, y) for x, y in zip(seqs_a, seqs_b)]
     mesh = mesh if mesh is not None else make_mesh()
     n = len(seqs_a)
     nd = mesh.devices.size

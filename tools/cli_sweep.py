@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Live randomized CLI byte-parity sweep against the reference binaries.
+
+Complements the committed fixtures (tests/test_cli_golden.py): generates
+fresh random flag combinations + sequences every run and byte-compares our
+CLIs with the reference build in /tmp/refbuild (sh tools/build_reference.sh
+first).  Normalizes only the build timestamp and the argv[0] path in usage
+output.  Reference invocations that die in the documented NW
+sentinel-overflow UB regime ('Program error: traceback fail' — README known
+deviations) are counted separately, not as mismatches.
+
+Usage: python tools/cli_sweep.py [N=200] [SEED=…]
+Exit status 1 on any real mismatch.  Found the sentinel-parity and
+wrap-regime issues fixed in round 2.
+"""
+
+import os
+import random
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/tmp/refbuild"
+
+FLAGPOOL = [
+    [], ["--printscores"], ["--pretty"], ["--colour"], ["--printmatrices"],
+    ["--nogapsin1"], ["--nogapsin2"], ["--nogaps"], ["--nomismatches"],
+    ["--freestartgap"], ["--freeendgap"], ["--case_sensitive"],
+    ["--match", "3", "--mismatch", "-5"], ["--gapopen", "-7"],
+    ["--gapextend", "-3"], ["--wildcard", "N", "1"],
+    ["--scoring", "PAM30"],
+    ["--substitution_matrix", "seqalign_tpu/data/scoring/BLOSUM62.txt"],
+    ["--zam"], ["--printfasta"], ["--context", "3"], ["--maxhits", "2"],
+]
+NW_ONLY = {"--freestartgap", "--freeendgap", "--printscores", "--zam"}
+SW_ONLY = {"--context", "--maxhits", "--minscore"}
+
+
+def _norm(s: str) -> str:
+    s = re.sub(r"\(compiled: [^)]*\)", "(compiled: X)", s)
+    s = re.sub(r"usage: \S+", "usage: X", s)
+    return s
+
+
+def _run(binname, args):
+    ours = subprocess.run(
+        [sys.executable, "-m", f"seqalign_tpu.cli.{binname}"] + args,
+        capture_output=True, text=True, cwd=REPO)
+    ref = subprocess.run([f"{REF}/{binname}"] + args, capture_output=True,
+                         text=True, cwd=REPO)
+    ok = (_norm(ours.stdout) == _norm(ref.stdout)
+          and _norm(ours.stderr) == _norm(ref.stderr))
+    return ok, ours, ref
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(2**31)
+    rng = random.Random(seed)
+    if not os.path.exists(f"{REF}/needleman_wunsch"):
+        sys.exit("build the reference first: sh tools/build_reference.sh")
+
+    def rand_seq(alpha):
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30)))
+
+    fails = ub = 0
+    for _ in range(n):
+        binname = rng.choice(["needleman_wunsch", "smith_waterman"])
+        flags = []
+        for _ in range(rng.randint(0, 3)):
+            flags += rng.choice(FLAGPOOL)
+        drop = SW_ONLY if binname == "needleman_wunsch" else NW_ONLY
+        out, skip = [], 0
+        for t in flags:
+            if skip:
+                skip -= 1
+                continue
+            if t in drop:
+                skip = 1 if t in ("--context", "--maxhits",
+                                  "--minscore") else 0
+                continue
+            out.append(t)
+        flags = out
+        prot = "--scoring" in flags or "BLOSUM62.txt" in " ".join(flags)
+        alpha = "ARNDCQEGHILKMFPSTWYV" if prot else "acgtn"
+        args = flags + [rand_seq(alpha), rand_seq(alpha)]
+        ok, ours, ref = _run(binname, args)
+        if ok:
+            continue
+        if "Program error" in ref.stderr or "Program error" in ref.stdout:
+            ub += 1  # reference UB-crash regime: documented deviation
+            continue
+        fails += 1
+        print("MISMATCH:", binname, args)
+        print(" ours:", repr(ours.stdout[:300]), repr(ours.stderr[:150]))
+        print(" ref :", repr(ref.stdout[:300]), repr(ref.stderr[:150]))
+    print(f"seed={seed}: {n} runs, {fails} real mismatches, "
+          f"{ub} reference-UB-crash cases (documented deviation)")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
