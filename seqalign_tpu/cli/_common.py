@@ -205,9 +205,13 @@ def _compile_stamp():
     import time
 
     t = time.localtime(os.path.getmtime(os.path.abspath(__file__)))
+    # fixed English months: __DATE__ is locale-independent, strftime('%b')
+    # is not (a French locale would print 'aoû' and break format parity)
+    mon = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep",
+           "Oct", "Nov", "Dec")[t.tm_mon - 1]
     # __DATE__ pads single-digit days with a space: "Aug  7 2026"
-    return (time.strftime("%b", t) + " " + "%2d" % t.tm_mday + " "
-            + time.strftime("%Y", t), time.strftime("%H:%M:%S", t))
+    return (mon + " " + "%2d" % t.tm_mday + " " + str(t.tm_year),
+            "%02d:%02d:%02d" % (t.tm_hour, t.tm_min, t.tm_sec))
 
 
 def _parse_int(s: str) -> Optional[int]:

@@ -1381,8 +1381,14 @@ def fill_dirs_long(ac, bc, na, nb, gap_open, gap_extend, mn, *,
         dirs_chunks.append(np.asarray(dirs))
         if emit_m:
             if extract_min is not None:
-                planes = packed_to_pair_planes(m, BS, P, LBt,
-                                               ilv=geo["ILV"])[:B]
+                # trim the K-padded plane depth to this chunk's true
+                # diagonal count: the harvest derives the slab's x extent
+                # from the depth (dp._sw_cand_geometry LA = D - LBp + 2),
+                # and na here is GLOBAL, so padded columns past the chunk
+                # boundary would otherwise pass the validity mask and be
+                # harvested as garbage candidates
+                planes = packed_to_pair_planes(
+                    m, BS, P, LBt, ilv=geo["ILV"])[:B, : CA + LBt - 1]
                 for i, (fl, sv) in enumerate(dp.sw_extract_candidates(
                         planes, na, nb, extract_min, x_off=c * CA)):
                     cands[i][0].append(fl)

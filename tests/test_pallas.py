@@ -663,6 +663,40 @@ def test_pallas_long_fill_failure_memo(monkeypatch):
     assert calls == [1]  # memoized: no second compile attempt
 
 
+def test_pallas_long_harvest_exact_candidates():
+    """Chunked SW streaming harvest: the candidate set must be EXACTLY the
+    interior cells with M >= threshold — K-padded plane columns past each
+    chunk boundary must never leak through the validity mask (they map to
+    global x <= na, so only the per-chunk depth trim excludes them;
+    regression for a bug that emitted duplicate flats with wrong scores)."""
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.ops.pallas_dp import fill_dirs_long
+
+    sc = scoring_system_sw_default()
+    rng = np.random.default_rng(0)
+    core = "".join(rng.choice(list("acgt"), 30))
+    a = ("".join(rng.choice(list("acgt"), 20)) + core
+         + "".join(rng.choice(list("acgt"), 20)))
+    b = ("".join(rng.choice(list("acgt"), 35)) + core
+         + "".join(rng.choice(list("acgt"), 35)))
+    A, na = dp.pad_batch([a])
+    B_, nb = dp.pad_batch([b])
+    B_ = np.pad(B_, ((0, 0), (0, 128 - B_.shape[1])))
+    ac, bc = dp.compact_inputs_mm(sc, A, B_)
+    _, m_part, _, _ = fill_dirs_long(
+        ac, bc, na, nb, np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        np.int32(0), is_sw=True, emit_m=True, match=np.int32(sc.match),
+        mismatch=np.int32(sc.mismatch), chunk=32, use_f32=True,
+        interpret=True, bs=8, extract_min=np.array([1], np.int32))
+    flats, scores = m_part[0]
+    M = host_dp.fill_matrices(sc, a, b, True)[0]
+    want = {y * (len(a) + 1) + x: int(M[y, x])
+            for y in range(1, len(b) + 1) for x in range(1, len(a) + 1)
+            if M[y, x] >= 1}
+    assert len(flats) == len(set(flats.tolist())) == len(want)
+    assert dict(zip(flats.tolist(), scores.tolist())) == want
+
+
 def test_pallas_long_bucket_batched(monkeypatch):
     """The long-pair bucket batches through one chunked Pallas fill per
     |b| group; alignments and hit streams must equal the host path."""
