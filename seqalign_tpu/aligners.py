@@ -231,12 +231,10 @@ def _pallas_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:
     substitution block, ~LN*(24 + 2K) bytes per sublane) inside an ~8MB
     budget — measured bit-exact on TPU v5e up to LBt=4096 (bs 32)."""
     from .ops import dp
-    from .ops.pallas_dp import TL
+    from .ops.pallas_dp import pack_geometry
 
-    P = max(1, TL // lbt)
-    if P > 1 and (lbt & (lbt - 1)) != 0:
-        P = 1
-    LN = P * lbt
+    g = pack_geometry(1, lbt)
+    P, LN = g["P"], g["LN"]
     # lut mode parks lut_k static dt score planes in VMEM on top of the
     # scratch — shrink the sublane chunk to keep residency in budget
     cap = min(128, (8 << 20) // (LN * (40 + 4 * lut_k)))
@@ -251,12 +249,10 @@ def _pallas_dirs_bs(n_pairs: int, lbt: int, lut_k: int = 0) -> int:
     the K-deep dirs/M output blocks (~LN*(52 + 5K) bytes per sublane) under
     a ~6MB budget — measured working at 8192 lanes with bs 8."""
     from .ops import dp
-    from .ops.pallas_dp import TL
+    from .ops.pallas_dp import pack_geometry
 
-    P = max(1, TL // lbt)
-    if P > 1 and (lbt & (lbt - 1)) != 0:
-        P = 1
-    LN = P * lbt
+    g = pack_geometry(1, lbt)
+    P, LN = g["P"], g["LN"]
     budget = (12 << 20) if LN <= 1024 else (6 << 20)
     # lut mode parks lut_k static dt score planes in VMEM on top of the
     # 13 state planes

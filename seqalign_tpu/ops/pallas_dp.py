@@ -852,16 +852,72 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
     B, LA = ac.shape
     _, LBt = bc.shape
     dt = jnp.float32 if use_f32 else jnp.int32
-    P = max(1, TL // LBt)
-    if P > 1 and (LBt & (LBt - 1)) != 0:
-        P = 1  # packing requires a power-of-two block (bitwise-and mod)
-    LN = P * LBt  # lanes per row (=TL unless LBt > TL)
-    D = LA + LBt - 1
+    if nmm:
+        assert inline_mm, "no_mismatches needs the inline equality mode"
+    if nga or ngb:
+        assert inline_mm or lut_k > 0, \
+            "no-gaps modes need an in-kernel scoring mode"
     K = unroll
+    st = _stage_kernel_inputs(
+        ac, bc, na, nb, subK, gap_open, gap_extend, mn, dt=dt, K=K, bs=bs,
+        is_sw=is_sw, use_f32=use_f32, ss8=ss8, inline_mm=inline_mm,
+        lut_k=lut_k, match=match, mismatch=mismatch,
+    )
+    BS, P, LN, DK, Bp, nB = (st["BS"], st["P"], st["LN"], st["DK"],
+                             st["Bp"], st["nB"])
+    inline = st["inline"]
+    kernel = functools.partial(
+        _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
+        ss_i8=ss8, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
+        nga=nga, ngb=ngb, nmm=nmm,
+    )
+    scratch = [pltpu.VMEM((BS, LN), dt)] * 6
+    if inline:
+        scratch = scratch + [pltpu.VMEM((BS, LN), jnp.int32)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, DK),
+        in_specs=st["first_specs"] + [
+            pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nB, BS, LN), dt),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*st["first_args"], st["nabl"], st["drange"], st["scal"])
+    # reduce each pair's lanes to its score
+    if inline and P > 1:
+        out = out.reshape(nB, BS, LBt, P).max(axis=2).reshape(Bp)
+    else:
+        out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
+    return out[:B].astype(jnp.int32)
+
+
+def _stage_kernel_inputs(ac, bc, na, nb, subK, gap_open, gap_extend, mn, *,
+                         dt, K, bs, is_sw, use_f32, ss8, inline_mm, lut_k,
+                         match, mismatch, x_off=None):
+    """Shared input staging for :func:`pallas_scores` and
+    :func:`pallas_fill_dirs` — ONE copy of the contract that feeds both
+    kernels (pad the batch to the lane-packed grid; build the in-kernel
+    scoring inputs: a-window + b-codes for inline_mm, a-window + LUT
+    planes for lut_k, sheared int8/dt substitution planes otherwise;
+    assemble the nabl/drange/scal operands).  The kernels' lane math must
+    stay in lockstep with the layouts built here.  ``x_off`` (chunked
+    fills) offsets the a-pad boundary to the chunk-local coordinate.
+
+    Returns a dict: first_args/first_specs (kernel scoring operands),
+    nabl/drange/scal, and the geometry (B, LA, LBt, P, LN, D, DK, BS, Bp,
+    nB, Ka, inline)."""
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    inline = inline_mm or lut_k > 0
+    geo = pack_geometry(LA, LBt, bs=bs, inline=inline)
+    P, LN, D, BS = geo["P"], geo["LN"], geo["D"], geo["BS"]
     DK = -(-D // K)
 
     # pad B to a multiple of BS*P
-    BS = min(bs, 128)
     Bp = -(-B // (BS * P)) * (BS * P)
     if Bp != B:
         pad = Bp - B
@@ -871,15 +927,15 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         nb = jnp.pad(nb, (0, pad), constant_values=1)
     nB = Bp // (BS * P)
 
-    # Remap pad positions to dedicated poison codes so pad-region substitution
-    # scores are hugely negative (see module docstring).
+    # Remap pad positions to dedicated poison codes so pad-region
+    # substitution scores are hugely negative (see module docstring).
     Ka, Kb = subK.shape
-    inline = inline_mm or lut_k > 0
     if inline:
         # no substitution plane STREAM: pad-coded sequences (+ static
         # per-letter planes in lut mode)
+        abound = na[:, None] - (x_off[0] if x_off is not None else 0)
         ac = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < abound,
             ac, PADA,
         )
         if inline_mm:
@@ -903,10 +959,18 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
             # lane l = y0*P + p holds b_pair_p[y0]
             bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
             bl = bl.reshape(nB, BS, LN)
+            second_spec = pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0))
         else:
-            # static per-a-letter score planes (shared helper — layout in
-            # lockstep with the kernels' lane math)
+            # static per-a-letter score planes
+            assert lut_k == Ka, (lut_k, Ka)
             bl = _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt)
+            second_spec = pl.BlockSpec((1, Ka, BS, LN),
+                                       lambda i, d: (i, 0, 0, 0))
+        first_specs = [
+            pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
+            second_spec,
+        ]
+        first_args = (aw, bl)
     else:
         ac = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
@@ -925,10 +989,15 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         pt = _profile_t(ac, bc, subKp, sdt)  # (Bp, LBt, LA)
         ss = _shear_t(pt)[:, :, :D]  # (Bp, LBt, D): [b, y0, r]
         ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
-        # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s, block p
+        # pack pairs into lanes: pair (i, s, p) -> chunk i, sublane s,
+        # block p
         ss = ss.reshape(nB, BS, P, LBt, DK * K)
         ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
         ss = ss.reshape(nB, DK, K, BS, LN)
+        first_specs = [
+            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
+        ]
+        first_args = (ss,)
 
     na32 = na.astype(jnp.int32)
     nb32 = nb.astype(jnp.int32)
@@ -946,7 +1015,7 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         nblane = jnp.broadcast_to(
             nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
         ).reshape(nB, 1, BS, LN)
-    nabl = jnp.concatenate([nalane, nblane], axis=1)  # (nB, 2, BS, TL)
+    nabl = jnp.concatenate([nalane, nblane], axis=1)  # (nB, 2, BS, LN)
 
     nsum = (na32 + nb32).reshape(nB, BS * P)
     drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
@@ -960,56 +1029,9 @@ def pallas_scores(ac, bc, na, nb, subK, imK, gap_open, gap_extend, mn,
         scal = scal.at[3].set(jnp.asarray(match, dt))
         scal = scal.at[4].set(jnp.asarray(mismatch, dt))
 
-    if nmm:
-        assert inline_mm, "no_mismatches needs the inline equality mode"
-    if nga or ngb:
-        assert inline_mm or lut_k > 0, \
-            "no-gaps modes need an in-kernel scoring mode"
-    kernel = functools.partial(
-        _kernel, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, DK=DK, dt=dt,
-        ss_i8=ss8, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
-        nga=nga, ngb=ngb, nmm=nmm,
-    )
-    if inline:
-        if inline_mm:
-            second_spec = pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0))
-        else:
-            assert lut_k == Ka, (lut_k, Ka)
-            second_spec = pl.BlockSpec((1, Ka, BS, LN),
-                                       lambda i, d: (i, 0, 0, 0))
-        first_specs = [
-            pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
-            second_spec,
-        ]
-        first_args = (aw, bl)
-        scratch = [pltpu.VMEM((BS, LN), dt)] * 6 + [
-            pltpu.VMEM((BS, LN), jnp.int32)
-        ]
-    else:
-        first_specs = [
-            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
-        ]
-        first_args = (ss,)
-        scratch = [pltpu.VMEM((BS, LN), dt)] * 6
-    out = pl.pallas_call(
-        kernel,
-        grid=(nB, DK),
-        in_specs=first_specs + [
-            pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nB, BS, LN), dt),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(*first_args, nabl, drange, scal)
-    # reduce each pair's lanes to its score
-    if inline and P > 1:
-        out = out.reshape(nB, BS, LBt, P).max(axis=2).reshape(Bp)
-    else:
-        out = out.reshape(nB, BS, P, LBt).max(axis=3).reshape(Bp)
-    return out[:B].astype(jnp.int32)
+    return dict(first_specs=first_specs, first_args=first_args, nabl=nabl,
+                drange=drange, scal=scal, B=B, LA=LA, LBt=LBt, P=P, LN=LN,
+                D=D, DK=DK, BS=BS, Bp=Bp, nB=nB, Ka=Ka, inline=inline)
 
 
 def _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt):
@@ -1068,116 +1090,28 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
       m:    same layout int32 M-matrix values (SW candidates), or None;
       corner: (B, 3) int32 — M/Ga/Gb at (nb, na) per pair (NW), or None.
     """
-    B, LA = ac.shape
-    _, LBt = bc.shape
-    dt = jnp.float32 if use_f32 else jnp.int32
-    P = max(1, TL // LBt)
-    if P > 1 and (LBt & (LBt - 1)) != 0:
-        P = 1
-    LN = P * LBt
-    D = LA + LBt - 1
-    K = unroll
-    DK = -(-D // K)
-
-    BS = min(bs, 128)
-    Bp = -(-B // (BS * P)) * (BS * P)
-    if Bp != B:
-        pad = Bp - B
-        ac = jnp.pad(ac, ((0, pad), (0, 0)))
-        bc = jnp.pad(bc, ((0, pad), (0, 0)))
-        na = jnp.pad(na, (0, pad), constant_values=1)
-        nb = jnp.pad(nb, (0, pad), constant_values=1)
-    nB = Bp // (BS * P)
-
-    Ka, Kb = subK.shape
-    inline = inline_mm or lut_k > 0
-    if chunked:
-        assert inline, "chunked Pallas fills require in-kernel scoring"
-        x_off32 = jnp.asarray(x_off, jnp.int32).reshape(1)
-    if inline:
-        abound = na[:, None] - (x_off32[0] if chunked else 0)
-        ac = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < abound,
-            ac, PADA,
-        )
-        if inline_mm:
-            bc = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1)
-                < nb[:, None],
-                bc, PADB,
-            )
-        LAp = DK * K + K + 2
-        awin = jnp.pad(ac, ((0, 0), (0, LAp - LA)), constant_values=PADA)
-        main = awin[:, : DK * K].reshape(Bp, DK, K)
-        last = awin[:, K: DK * K + K: K].reshape(Bp, DK, 1)
-        aw = jnp.concatenate([main, last], axis=2)
-        aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
-        aw = aw.reshape(nB, DK, BS, (K + 1) * P)
-        if inline_mm:
-            bl = bc.reshape(nB, BS, P, LBt).transpose(0, 1, 3, 2)
-            bl = bl.reshape(nB, BS, LN)
-        else:
-            # static per-a-letter score planes (shared helper)
-            bl = _bake_lut_planes(subK, bc, nb, nB, BS, P, LBt, dt)
-    else:
-        ac = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
-            ac, Ka,
-        )
-        bc = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
-            bc, Kb,
-        )
-        # pads never feed cells a traceback can visit, so the pad
-        # substitution value is immaterial here; keep the same markers as
-        # pallas_scores
-        if ss8:
-            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON8)
-            sdt = jnp.int8
-        else:
-            subKp = jnp.pad(subK, ((0, 1), (0, 1)), constant_values=POISON)
-            sdt = dt
-        pt = _profile_t(ac, bc, subKp, sdt)
-        ss = _shear_t(pt)[:, :, :D]
-        ss = jnp.pad(ss, ((0, 0), (0, 0), (0, DK * K - D)))
-        ss = ss.reshape(nB, BS, P, LBt, DK * K)
-        ss = ss.transpose(0, 4, 1, 2, 3).reshape(nB, DK * K, BS, LN)
-        ss = ss.reshape(nB, DK, K, BS, LN)
-
-    na32 = na.astype(jnp.int32)
-    nb32 = nb.astype(jnp.int32)
-    if inline and P > 1:  # interleaved lanes: l = y0*P + p
-        nalane = jnp.broadcast_to(
-            na32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
-        ).reshape(nB, 1, BS, LN)
-        nblane = jnp.broadcast_to(
-            nb32.reshape(nB, BS, 1, P), (nB, BS, LBt, P)
-        ).reshape(nB, 1, BS, LN)
-    else:
-        nalane = jnp.broadcast_to(
-            na32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-        ).reshape(nB, 1, BS, LN)
-        nblane = jnp.broadcast_to(
-            nb32.reshape(nB, BS, P, 1), (nB, BS, P, LBt)
-        ).reshape(nB, 1, BS, LN)
-    nabl = jnp.concatenate([nalane, nblane], axis=1)
-    nsum = (na32 + nb32).reshape(nB, BS * P)
-    drange = jnp.stack([nsum.min(axis=1), nsum.max(axis=1)], axis=1)
-    if use_f32 and not is_sw:
-        mn_val = -jnp.inf
-    else:
-        mn_val = jnp.asarray(mn, dt)
-    scal = jnp.array([gap_open, gap_extend, 0, 0, 0, 0, 0, 0],
-                     dtype=dt).at[2].set(mn_val)
-    if inline_mm:
-        scal = scal.at[3].set(jnp.asarray(match, dt))
-        scal = scal.at[4].set(jnp.asarray(mismatch, dt))
-
     if nmm:
         assert inline_mm, "no_mismatches needs the inline equality mode"
     if nga or ngb:
         assert inline_mm or lut_k > 0, \
             "no-gaps modes need an in-kernel scoring mode"
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    dt = jnp.float32 if use_f32 else jnp.int32
+    K = unroll
+    if chunked:
+        assert inline_mm or lut_k > 0, \
+            "chunked Pallas fills require in-kernel scoring"
+        x_off32 = jnp.asarray(x_off, jnp.int32).reshape(1)
+    st = _stage_kernel_inputs(
+        ac, bc, na, nb, subK, gap_open, gap_extend, mn, dt=dt, K=K, bs=bs,
+        is_sw=is_sw, use_f32=use_f32, ss8=ss8, inline_mm=inline_mm,
+        lut_k=lut_k, match=match, mismatch=mismatch,
+        x_off=x_off32 if chunked else None,
+    )
+    BS, P, LN, DK, Bp, nB = (st["BS"], st["P"], st["LN"], st["DK"],
+                             st["Bp"], st["nB"])
+    inline = st["inline"]
     kernel = functools.partial(
         _dirs_kernel, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P, K=K,
         DK=DK, dt=dt, inline_mm=inline_mm, lut_k=lut_k, nsg=nsg, neg=neg,
@@ -1187,38 +1121,22 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
     mmap = ((lambda i, d: (i, d, 0, 0, 0)) if emit_m
             else (lambda i, d: (0, 0, 0, 0, 0)))
+    first_specs = list(st["first_specs"])
+    first_args = st["first_args"]
+    scratch = [pltpu.VMEM((BS, LN), dt)] * 12
     if inline:
-        if inline_mm:
-            second_spec = pl.BlockSpec((1, BS, LN), lambda i, d: (i, 0, 0))
-        else:
-            assert lut_k == Ka, (lut_k, Ka)
-            second_spec = pl.BlockSpec((1, Ka, BS, LN),
-                                       lambda i, d: (i, 0, 0, 0))
-        first_specs = [
-            pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, d: (i, d, 0, 0)),
-            second_spec,
-        ]
-        first_args = (aw, bl)
-        scratch = [pltpu.VMEM((BS, LN), dt)] * 12 + [
-            pltpu.VMEM((BS, LN), jnp.int32)
-        ]
+        scratch = scratch + [pltpu.VMEM((BS, LN), jnp.int32)]
         if chunked:
             first_specs.append(
                 pl.BlockSpec((1, 6, BS, LN), lambda i, d: (i, 0, 0, 0)))
-            first_args = (aw, bl, bcol)
+            first_args = first_args + (bcol,)
             scratch = scratch + [pltpu.VMEM((BS, LN), dt)] * 3
-    else:
-        first_specs = [
-            pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
-        ]
-        first_args = (ss,)
-        scratch = [pltpu.VMEM((BS, LN), dt)] * 12
     mid_specs = [
         pl.BlockSpec((1, 2, BS, LN), lambda i, d: (i, 0, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
-    mid_args = (nabl, drange, scal)
+    mid_args = (st["nabl"], st["drange"], st["scal"])
     out_specs = [
         pl.BlockSpec((1, 1, K, BS, LN), lambda i, d: (i, d, 0, 0, 0)),
         pl.BlockSpec((1, 1, 1 if not emit_m else K, 8 if not emit_m
@@ -1232,7 +1150,7 @@ def pallas_fill_dirs(ac, bc, na, nb, subK, gap_open, gap_extend, mn,
     ]
     if chunked:
         mid_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        mid_args = (nabl, drange, scal, x_off32)
+        mid_args = mid_args + (x_off32,)
         out_specs.append(pl.BlockSpec((1, 3, BS, LN),
                                       lambda i, d: (i, 0, 0, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((nB, 3, BS, LN), dt))
