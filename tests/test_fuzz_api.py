@@ -84,11 +84,14 @@ def test_fuzz_device_pallas_matches_host(monkeypatch, flags):
     the host reference exactly (alignments and SW hit streams)."""
     from seqalign_tpu.ops import host_dp
 
+    import os
+
     monkeypatch.setenv("SEQALIGN_FORCE", "device")
     monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
     monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
     rng = np.random.default_rng(7 + hash(tuple(sorted(flags))) % 2**31)
-    for trial in range(2):
+    # soak runs dial this up (SEQALIGN_FUZZ_TRIALS=20 ...); CI stays fast
+    for trial in range(int(os.environ.get("SEQALIGN_FUZZ_TRIALS", "2"))):
         m = int(rng.integers(0, 4))
         mm = int(rng.integers(-6, min(1, m + 1)))
         go = int(rng.integers(-8, 1))
