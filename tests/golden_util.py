@@ -17,7 +17,10 @@ from seqalign_tpu.scoring.presets import (
     scoring_system_PAM70,
 )
 
-GOLD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+# SEQALIGN_GOLDEN_DIR points the golden tests at a freshly-generated soak
+# corpus (tools/gen_golden.py <seed> <dir>) instead of the committed one
+GOLD = os.environ.get("SEQALIGN_GOLDEN_DIR") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden")
 
 _PRESETS = {
     "PAM30": scoring_system_PAM30,

@@ -27,7 +27,14 @@ def rand_seq(rng, maxlen, alpha="acgt", minlen=0):
 
 
 def main():
-    rng = random.Random(20260816)
+    # argv: [seed] [out_dir] — default regenerates the COMMITTED fixtures
+    # byte-identically; a fresh seed + scratch dir gives an independent
+    # soak corpus (run the golden tests against it with
+    # SEQALIGN_GOLDEN_DIR=<out_dir>)
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 20260816
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(REPO, "tests", "golden")
+    rng = random.Random(seed)
     lines = []
 
     def case(mode, m, mm, go, ge, flags, a, b, extras=""):
@@ -140,13 +147,13 @@ def main():
     if out.stderr:
         sys.stderr.write(out.stderr)
 
-    gold_dir = os.path.join(REPO, "tests", "golden")
-    os.makedirs(gold_dir, exist_ok=True)
-    with open(os.path.join(gold_dir, "cases.tsv"), "w") as fh:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "cases.tsv"), "w") as fh:
         fh.write(inp)
-    with open(os.path.join(gold_dir, "golden.tsv"), "w") as fh:
+    with open(os.path.join(out_dir, "golden.tsv"), "w") as fh:
         fh.write(out.stdout)
-    print(f"{len(lines)} cases -> {len(out.stdout.splitlines())} golden lines")
+    print(f"seed={seed}: {len(lines)} cases -> "
+          f"{len(out.stdout.splitlines())} golden lines -> {out_dir}")
 
 
 if __name__ == "__main__":
