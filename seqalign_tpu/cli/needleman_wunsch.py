@@ -9,6 +9,7 @@ import sys
 
 from ..aligners import NeedlemanWunsch
 from ..io.seqio import align_from_file
+from ..ops.oracle import TracebackFail
 from ..scoring.presets import scoring_system_default
 from ._common import (
     NW_CMD,
@@ -115,46 +116,76 @@ def main(argv=None):
         out.write("\n")
         out.flush()
 
-    with trace_context():
-        if cmd.seq1 is not None:
-            align(cmd.seq1, cmd.seq2)
-
-        CHUNK = 256
-        for file1, file2 in cmd.file_pairs:
-            streaming = cmd.interactive or file1 in ("", "-")
-            if file1 == "" and file2 is None:
-                file1 = "-"
-            if streaming:
-                # stdin follows the immediate-response protocol the Perl
-                # wrapper depends on (NeedlemanWunsch.pm:182-211) — align
-                # pair by pair
-                def one(r1, r2):
-                    if resume.should_skip():
-                        return
-                    align(r1[1], r2[1], r1[0], r2[0])
-                    resume.done(1)
-
-                align_from_file(file1, file2, one,
-                                use_zlib=not cmd.interactive)
-            else:
-                buf = []
-
-                def collect(r1, r2, buf=buf):
-                    if resume.should_skip():
-                        return
-                    buf.append((r1, r2))
-                    if len(buf) >= CHUNK:
-                        align_many(buf)
-                        resume.done(len(buf))
-                        del buf[:]
-
-                align_from_file(file1, file2, collect, use_zlib=True)
-                if buf:
-                    align_many(buf)
-                    resume.done(len(buf))
+    try:
+        with trace_context():
+            _run_alignments(cmd, align, align_many, resume)
+    except TracebackFail as tf:
+        # SEQALIGN_REF_WRAP=1 bug-compat: reproduce the reference's abort
+        # byte-for-byte — matrices to stdout, diagnostics to stderr, exit 1
+        # (alignment.c:329-349)
+        out.write(print_matrices_str(*tf.matrices, tf.seq_a, tf.seq_b, sc))
+        out.flush()
+        sys.stderr.write(
+            "[%s:%d,%d]: %d [ismatch: %d] '%s' '%s'\n"
+            % (tf.matrix_name, tf.x, tf.y, tf.score, tf.is_match, tf.ca,
+               tf.cb))
+        sys.stderr.write(" Penalties match: %d gap_open: %d gap_extend:"
+                         " %d\n" % (tf.pm, tf.pga, tf.pgb))
+        sys.stderr.write(" Expected MATCH: %d GAP_A: %d GAP_B: %d\n"
+                         % (tf.em, tf.ega, tf.egb))
+        sys.stderr.write(
+            "Program error: traceback fail (get_reverse_move)\n"
+            "This may be due to an integer overflow if your sequences are"
+            " long or scores\n"
+            "are large. If this is the case using smaller scores or"
+            " shorter sequences may\n"
+            "work around this problem.  \n"
+            "  If you think this is a bug, please report it to:"
+            " turner.isaac@gmail.com\n")
+        disarm()
+        return 1
     stats_finish(stats)
     disarm()
     return 0
+
+
+def _run_alignments(cmd, align, align_many, resume):
+    if cmd.seq1 is not None:
+        align(cmd.seq1, cmd.seq2)
+
+    CHUNK = 256
+    for file1, file2 in cmd.file_pairs:
+        streaming = cmd.interactive or file1 in ("", "-")
+        if file1 == "" and file2 is None:
+            file1 = "-"
+        if streaming:
+            # stdin follows the immediate-response protocol the Perl
+            # wrapper depends on (NeedlemanWunsch.pm:182-211) — align
+            # pair by pair
+            def one(r1, r2):
+                if resume.should_skip():
+                    return
+                align(r1[1], r2[1], r1[0], r2[0])
+                resume.done(1)
+
+            align_from_file(file1, file2, one,
+                            use_zlib=not cmd.interactive)
+        else:
+            buf = []
+
+            def collect(r1, r2, buf=buf):
+                if resume.should_skip():
+                    return
+                buf.append((r1, r2))
+                if len(buf) >= CHUNK:
+                    align_many(buf)
+                    resume.done(len(buf))
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True)
+            if buf:
+                align_many(buf)
+                resume.done(len(buf))
 
 
 if __name__ == "__main__":

@@ -145,6 +145,27 @@ def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str) -> Alignment:
     return Alignment(ra, rb, score, 0, 0, len(seq_a), len(seq_b))
 
 
+def nw_align_ref_wrap(sc: ScoringConfig, seq_a: str, seq_b: str):
+    """Opt-in SEQALIGN_REF_WRAP=1 bug-compat NW: the reference's exact
+    int32 two's-complement wrap semantics (its UB in the sentinel-overflow
+    regime), including the traceback-fail abort — raises
+    :class:`oracle.TracebackFail` carrying the reference's dump values.
+    Returns (Alignment, (M, Ga, Gb)); identical to the normal path
+    whenever nothing wraps."""
+    from . import oracle
+
+    mats = oracle.fill_matrices(sc, seq_a, seq_b, is_sw=False, wrap32=True)
+    try:
+        ra, rb, score = oracle.nw_align(sc, seq_a, seq_b, matrices=mats,
+                                        wrap32=True)
+    except oracle.TracebackFail as tf:
+        # the CLI abort dump needs the matrices + raw sequences
+        tf.matrices = mats
+        tf.seq_a, tf.seq_b = seq_a, seq_b
+        raise
+    return (Alignment(ra, rb, score, 0, 0, len(seq_a), len(seq_b)), mats)
+
+
 def nw_align_with_matrices(sc: ScoringConfig, seq_a: str, seq_b: str):
     """One fill shared by traceback + --printmatrices (the reference fills
     once and prints from live state, tools/nw_cmdline.c:107-110)."""

@@ -12,6 +12,13 @@ fuzz-checked for bit-identical int32 behavior. Reference anchors:
 All arithmetic is int64 internally but every stored value is the int32 the
 reference computes (the reference's sentinel design keeps interior values in
 range; we assert that instead of wrapping).
+
+``wrap32=True`` switches every addition to C two's-complement int32 wrap —
+the reference's ACTUAL behavior in the sentinel-overflow regime (constrained
+modes with per-step penalties beyond the frozen |min_penalty| headroom,
+README known deviations), where it computes deterministic wrapped garbage
+and aborts in the traceback.  This powers the opt-in SEQALIGN_REF_WRAP=1
+bug-compat mode; the default mode asserts in-range instead.
 """
 
 from __future__ import annotations
@@ -20,8 +27,50 @@ import numpy as np
 
 from ..scoring.config import GAP_A, GAP_B, MATCH, ScoringConfig, encode
 
+_MATRIX_NAME = {MATCH: "MATCH", GAP_A: "GAP_A", GAP_B: "GAP_B"}
 
-def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
+
+def _w32(v) -> int:
+    """C int32 two's-complement wrap (deterministic on every supported
+    platform, though formally UB in the reference)."""
+    return ((int(v) + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+
+
+class TracebackFail(RuntimeError):
+    """alignment.c:329-349 'Program error: traceback fail' — carries the
+    exact values the reference dumps to stdout/stderr before
+    exit(EXIT_FAILURE), so the CLI can reproduce the abort byte-for-byte
+    under SEQALIGN_REF_WRAP=1."""
+
+    def __init__(self, matrix_name, x, y, score, is_match, ca, cb,
+                 pm, pga, pgb, em, ega, egb):
+        super().__init__("traceback fail (get_reverse_move)")
+        self.matrix_name = matrix_name
+        self.x, self.y, self.score = x, y, score
+        self.is_match = is_match
+        self.ca, self.cb = ca, cb
+        self.pm, self.pga, self.pgb = pm, pga, pgb
+        self.em, self.ega, self.egb = em, ega, egb
+
+
+def _max4_ref(w, x, y, mn):
+    """The reference BINARY's MAX4 under signed overflow (gcc -O2 x86-64,
+    tools/build_reference.sh; formally UB): the MAX3 head comparison
+    ``w >= x && w >= y`` is evaluated on the TRUE sums (gcc promotes to
+    64-bit), its else-branch ``MAX2(x, y)`` compares the int32-WRAPPED
+    sums, and the final ``MAX2(.., min)`` + store happen in int32.
+    Verified cell-for-cell against the binary's own --printmatrices dump
+    in the overflow regime (tests/test_ref_wrap_compat.py)."""
+    if w >= x and w >= y:
+        r = _w32(w)
+    else:
+        xw, yw = _w32(x), _w32(y)
+        r = xw if xw >= yw else yw
+    return r if r >= mn else mn
+
+
+def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool,
+                  wrap32: bool = False):
     """Return (M, Ga, Gb) int32 arrays of shape (len_b+1, len_a+1), laid out
     [y][x] like the reference's row-major ARR_2D_INDEX(width=len_a+1, x, y)."""
     a = encode(seq_a)
@@ -38,6 +87,8 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
     Ga = np.zeros((h, w), dtype=np.int64)
     Gb = np.zeros((h, w), dtype=np.int64)
 
+    wr = _w32 if wrap32 else (lambda v: v)
+
     if is_sw:
         # alignment.c:51-57 (min == 0 for SW so everything is 0)
         M[0, 1:] = Ga[0, 1:] = Gb[0, 1:] = 0
@@ -47,10 +98,12 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
         for x in range(1, w):
             M[0, x] = mn
             Ga[0, x] = mn
-            Gb[0, x] = 0 if sc.no_start_gap_penalty else sc.gap_open + x * sc.gap_extend
+            Gb[0, x] = 0 if sc.no_start_gap_penalty else \
+                wr(sc.gap_open + x * sc.gap_extend)
         for y in range(1, h):
             M[y, 0] = mn
-            Ga[y, 0] = 0 if sc.no_start_gap_penalty else sc.gap_open + y * sc.gap_extend
+            Ga[y, 0] = 0 if sc.no_start_gap_penalty else \
+                wr(sc.gap_open + y * sc.gap_extend)
             Gb[y, 0] = mn
 
     for y in range(1, h):
@@ -61,10 +114,16 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
             sub = int(sub_lut[ca, cb])
             is_match = bool(is_match_lut[ca, cb])
 
+            # wrap semantics (wrap32): _max4_ref replicates the reference
+            # binary's exact MAX4 codegen under overflow (argument order
+            # matches alignment.c:111-155); identical to plain max when
+            # nothing wraps
+            mx4 = _max4_ref if wrap32 else (
+                lambda w_, x_, y_, mn_: max(w_, x_, y_, mn_))
             if sc.no_mismatches and not is_match:
                 M[y, x] = mn  # alignment.c:101-104
             else:
-                M[y, x] = max(
+                M[y, x] = mx4(
                     M[y - 1, x - 1] + sub,
                     Ga[y - 1, x - 1] + sub,
                     Gb[y - 1, x - 1] + sub,
@@ -75,8 +134,9 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
             if x == n and sc.no_end_gap_penalty:
                 Ga[y, x] = max(M[y - 1, x], Ga[y - 1, x], Gb[y - 1, x])
             elif (not sc.no_gaps_in_a) or x == n:
-                Ga[y, x] = max(
-                    M[y - 1, x] + gop, Ga[y - 1, x] + gep, Gb[y - 1, x] + gop, mn
+                Ga[y, x] = mx4(
+                    M[y - 1, x] + gop, Ga[y - 1, x] + gep,
+                    Gb[y - 1, x] + gop, mn
                 )
             else:
                 Ga[y, x] = mn
@@ -85,8 +145,9 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
             if y == m and sc.no_end_gap_penalty:
                 Gb[y, x] = max(M[y, x - 1], Ga[y, x - 1], Gb[y, x - 1])
             elif (not sc.no_gaps_in_b) or y == m:
-                Gb[y, x] = max(
-                    M[y, x - 1] + gop, Ga[y, x - 1] + gop, Gb[y, x - 1] + gep, mn
+                Gb[y, x] = mx4(
+                    M[y, x - 1] + gop, Ga[y, x - 1] + gop,
+                    Gb[y, x - 1] + gep, mn
                 )
             else:
                 Gb[y, x] = mn
@@ -96,12 +157,19 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
     return M.astype(np.int32), Ga.astype(np.int32), Gb.astype(np.int32)
 
 
-def reverse_move(sc: ScoringConfig, a, b, M, Ga, Gb, curr_matrix, curr_score, x, y):
+def reverse_move(sc: ScoringConfig, a, b, M, Ga, Gb, curr_matrix, curr_score,
+                 x, y):
     """alignment_reverse_move (alignment.c:244-350). Returns
-    (new_matrix, new_score, new_x, new_y). Raises on traceback failure."""
+    (new_matrix, new_score, new_x, new_y). Raises on traceback failure —
+    :class:`TracebackFail` carrying the reference's exact dump values.
+
+    No wrap32 variant: the reference build evaluates the equality sums in
+    64-bit (signed-overflow UB lets gcc -O2 promote), so only STORED fill
+    values ever truncate — the traceback arithmetic itself never wraps,
+    which is exactly why it FAILS on wrapped cells."""
     n = len(a)
     m = len(b)
-    sub, _ = sc.lookup(int(a[x - 1]), int(b[y - 1]))
+    sub, is_match = sc.lookup(int(a[x - 1]), int(b[y - 1]))
 
     ga_open = gb_open = sc.gap_extend + sc.gap_open
     ga_ext = gb_ext = sc.gap_extend
@@ -121,24 +189,33 @@ def reverse_move(sc: ScoringConfig, a, b, M, Ga, Gb, curr_matrix, curr_score, x,
         pm, pga, pgb = gb_open, gb_open, gb_ext
         nx, ny = x - 1, y
 
-    # alignment.c:311-327 — priority GAP_A, GAP_B, MATCH with no_gaps guards
-    if (not sc.no_gaps_in_a or nx == 0 or nx == n) and int(Ga[ny, nx]) + pga == curr_score:
+    # alignment.c:311-327 — priority GAP_A, GAP_B, MATCH with no_gaps
+    # guards
+    if (not sc.no_gaps_in_a or nx == 0 or nx == n) \
+            and int(Ga[ny, nx]) + pga == curr_score:
         return GAP_A, int(Ga[ny, nx]), nx, ny
-    if (not sc.no_gaps_in_b or ny == 0 or ny == m) and int(Gb[ny, nx]) + pgb == curr_score:
+    if (not sc.no_gaps_in_b or ny == 0 or ny == m) \
+            and int(Gb[ny, nx]) + pgb == curr_score:
         return GAP_B, int(Gb[ny, nx]), nx, ny
     if int(M[ny, nx]) + pm == curr_score:
         return MATCH, int(M[ny, nx]), nx, ny
-    raise RuntimeError("traceback fail (get_reverse_move)")  # alignment.c:329-349
+    # alignment.c:329-349
+    raise TracebackFail(_MATRIX_NAME[curr_matrix], nx, ny, curr_score,
+                        int(bool(is_match)), chr(a[x - 1]), chr(b[y - 1]),
+                        pm, pga, pgb,
+                        int(M[ny, nx]), int(Ga[ny, nx]), int(Gb[ny, nx]))
 
 
-def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str, matrices=None):
+def nw_align(sc: ScoringConfig, seq_a: str, seq_b: str, matrices=None,
+             wrap32: bool = False):
     """needleman_wunsch_align2 -> (aligned_a, aligned_b, score).
 
     ``matrices`` lets the production host path (ops/host_dp.py) inject its
     vectorized fill; default is this module's per-cell spec fill."""
     a, b = encode(seq_a), encode(seq_b)
     n, m = len(a), len(b)
-    M, Ga, Gb = (fill_matrices(sc, seq_a, seq_b, is_sw=False)
+    M, Ga, Gb = (fill_matrices(sc, seq_a, seq_b, is_sw=False,
+                               wrap32=wrap32)
                  if matrices is None else matrices)
 
     # start matrix preference GAP_A >= GAP_B >= MATCH (needleman_wunsch.c:53-66)
