@@ -489,7 +489,7 @@ class NeedlemanWunsch:
     def align_batch(
         self, seqs_a: Sequence[str], seqs_b: Sequence[str]
     ) -> List[Alignment]:
-        if os.environ.get("SEQALIGN_REF_WRAP"):
+        if os.environ.get("SEQALIGN_REF_WRAP") == "1":
             # bug-compat: the reference's exact int32-wrap semantics incl.
             # the traceback-fail abort (README known deviations)
             return [host_dp.nw_align_ref_wrap(self.scoring, a, b)[0]
@@ -586,7 +586,7 @@ class NeedlemanWunsch:
         """One fill shared by the alignment and the (M, Ga, Gb) row-major
         matrices (--printmatrices parity without a second fill — the
         reference prints from live fill state, tools/nw_cmdline.c:107-110)."""
-        if os.environ.get("SEQALIGN_REF_WRAP"):
+        if os.environ.get("SEQALIGN_REF_WRAP") == "1":
             return host_dp.nw_align_ref_wrap(self.scoring, seq_a, seq_b)
         if _route(len(seq_a) * len(seq_b), 1, self.scoring) == "host":
             return host_dp.nw_align_with_matrices(self.scoring, seq_a, seq_b)

@@ -5,6 +5,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
 from ..aligners import NeedlemanWunsch
@@ -78,7 +79,11 @@ def main(argv=None):
         """Batched fill for a chunk of (r1, r2) records — one device program
         per chunk instead of per pair (the reference aligns serially,
         alignment_cmdline.c:611-622)."""
-        if cmd.zam_stle_output or cmd.print_matrices:
+        if cmd.zam_stle_output or cmd.print_matrices \
+                or os.environ.get("SEQALIGN_REF_WRAP") == "1":
+            # REF_WRAP must align+print pair-by-pair like the reference:
+            # a wrap abort mid-chunk would otherwise drop the completed
+            # pairs' output that the reference already printed
             for r1, r2 in pairs:
                 align(r1[1], r2[1], r1[0], r2[0])
             return
@@ -120,6 +125,11 @@ def main(argv=None):
         with trace_context():
             _run_alignments(cmd, align, align_many, resume)
     except TracebackFail as tf:
+        if not hasattr(tf, "matrices"):
+            # not the REF_WRAP path (oracle.reverse_move also serves the
+            # normal host traceback): a genuine internal failure — keep
+            # the full diagnostic instead of the bug-compat dump
+            raise
         # SEQALIGN_REF_WRAP=1 bug-compat: reproduce the reference's abort
         # byte-for-byte — matrices to stdout, diagnostics to stderr, exit 1
         # (alignment.c:329-349)

@@ -154,6 +154,10 @@ def nw_align_ref_wrap(sc: ScoringConfig, seq_a: str, seq_b: str):
     whenever nothing wraps."""
     from . import oracle
 
+    if not sc.sentinel_wrap_risk():
+        # nothing can wrap: the vectorized fill is bit-identical and far
+        # faster than the per-cell wrap-emulation loop
+        return nw_align_with_matrices(sc, seq_a, seq_b)
     mats = oracle.fill_matrices(sc, seq_a, seq_b, is_sw=False, wrap32=True)
     try:
         ra, rb, score = oracle.nw_align(sc, seq_a, seq_b, matrices=mats,

@@ -88,6 +88,11 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool,
     Gb = np.zeros((h, w), dtype=np.int64)
 
     wr = _w32 if wrap32 else (lambda v: v)
+    # wrap semantics: _max4_ref replicates the reference binary's exact
+    # MAX4 codegen under overflow (argument order matches
+    # alignment.c:111-155); identical to plain max when nothing wraps
+    mx4 = _max4_ref if wrap32 else (
+        lambda w_, x_, y_, mn_: max(w_, x_, y_, mn_))
 
     if is_sw:
         # alignment.c:51-57 (min == 0 for SW so everything is 0)
@@ -114,12 +119,6 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool,
             sub = int(sub_lut[ca, cb])
             is_match = bool(is_match_lut[ca, cb])
 
-            # wrap semantics (wrap32): _max4_ref replicates the reference
-            # binary's exact MAX4 codegen under overflow (argument order
-            # matches alignment.c:111-155); identical to plain max when
-            # nothing wraps
-            mx4 = _max4_ref if wrap32 else (
-                lambda w_, x_, y_, mn_: max(w_, x_, y_, mn_))
             if sc.no_mismatches and not is_match:
                 M[y, x] = mn  # alignment.c:101-104
             else:
