@@ -11,6 +11,7 @@ import sys
 from ..aligners import NeedlemanWunsch
 from ..io.seqio import align_from_file
 from ..ops.oracle import TracebackFail
+from ..scoring.config import UnknownCharPair
 from ..scoring.presets import scoring_system_default
 from ._common import (
     NW_CMD,
@@ -87,10 +88,18 @@ def main(argv=None):
             for r1, r2 in pairs:
                 align(r1[1], r2[1], r1[0], r2[0])
             return
-        with stats_timer(stats, [len(r1[1]) for r1, _ in pairs],
-                         [len(r2[1]) for _, r2 in pairs]):
-            results = aligner.align_batch([r1[1] for r1, _ in pairs],
-                                          [r2[1] for _, r2 in pairs])
+        try:
+            with stats_timer(stats, [len(r1[1]) for r1, _ in pairs],
+                             [len(r2[1]) for _, r2 in pairs]):
+                results = aligner.align_batch([r1[1] for r1, _ in pairs],
+                                              [r2[1] for _, r2 in pairs])
+        except UnknownCharPair:
+            # an invalid pair mid-chunk: align pair-by-pair so the pairs
+            # the reference already printed are printed before the error
+            # aborts (alignment_scoring.c:177-182)
+            for r1, r2 in pairs:
+                align(r1[1], r2[1], r1[0], r2[0])
+            return
         for (r1, r2), r in zip(pairs, results):
             _print_alignment(r, r1[0], r2[0])
 
@@ -124,6 +133,11 @@ def main(argv=None):
     try:
         with trace_context():
             _run_alignments(cmd, align, align_many, resume)
+    except UnknownCharPair as e:
+        # alignment_scoring.c:177-182: 'Error: <msg>' on stderr, exit 1
+        sys.stderr.write("Error: %s\n" % e)
+        disarm()
+        return 1
     except TracebackFail as tf:
         if not hasattr(tf, "matrices"):
             # not the REF_WRAP path (oracle.reverse_move also serves the

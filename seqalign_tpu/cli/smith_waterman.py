@@ -9,7 +9,7 @@ from __future__ import annotations
 import sys
 
 from ..aligners import SmithWaterman
-from ..scoring.config import ScoringConfig
+from ..scoring.config import ScoringConfig, UnknownCharPair
 from ..io.seqio import align_from_file
 from ._common import (
     COL_CONTEXT,
@@ -231,54 +231,72 @@ def main(argv=None):
                 for i in todo]
         if any(m is None for m in mins):
             mins = None
-        with stats_timer(stats, [len(pairs[i][0][1]) for i in todo],
-                         [len(pairs[i][1][1]) for i in todo]):
-            iters = sw.align_batch([pairs[i][0][1] for i in todo],
-                                   [pairs[i][1][1] for i in todo],
-                                   min_scores=mins) \
-                if todo else []
+        try:
+            with stats_timer(stats, [len(pairs[i][0][1]) for i in todo],
+                             [len(pairs[i][1][1]) for i in todo]):
+                iters = sw.align_batch([pairs[i][0][1] for i in todo],
+                                       [pairs[i][1][1] for i in todo],
+                                       min_scores=mins) \
+                    if todo else []
+        except UnknownCharPair:
+            # an invalid pair mid-chunk: align pair-by-pair so the pairs
+            # the reference already printed are printed before the error
+            # aborts (alignment_scoring.c:177-182)
+            for r1, r2 in pairs:
+                align(r1[1], r2[1], r1[0], r2[0])
+            return
         by_pair = dict(zip(todo, iters))
         for i, (r1, r2) in enumerate(pairs):
             align(r1[1], r2[1], r1[0], r2[0], hits=by_pair.get(i))
 
-    with trace_context():
-        if cmd.seq1 is not None:
-            align(cmd.seq1, cmd.seq2)
-
-        CHUNK = 256
-        for file1, file2 in cmd.file_pairs:
-            streaming = cmd.interactive or file1 in ("", "-")
-            if file1 == "" and file2 is None:
-                state["wait_on_keystroke"] = True
-                file1 = "-"
-            if streaming:
-                def one(r1, r2):
-                    if resume.should_skip():
-                        return
-                    align(r1[1], r2[1], r1[0], r2[0])
-                    resume.done(1, state["alignment_index"])
-
-                align_from_file(file1, file2, one,
-                                use_zlib=not cmd.interactive)
-            else:
-                buf = []
-
-                def collect(r1, r2, buf=buf):
-                    if resume.should_skip():
-                        return
-                    buf.append((r1, r2))
-                    if len(buf) >= CHUNK:
-                        align_many(buf)
-                        resume.done(len(buf), state["alignment_index"])
-                        del buf[:]
-
-                align_from_file(file1, file2, collect, use_zlib=True)
-                if buf:
-                    align_many(buf)
-                    resume.done(len(buf), state["alignment_index"])
+    try:
+        with trace_context():
+            _sw_run(cmd, align, align_many, resume, state)
+    except UnknownCharPair as e:
+        # alignment_scoring.c:177-182: 'Error: <msg>' on stderr, exit 1
+        sys.stderr.write("Error: %s\n" % e)
+        disarm()
+        return 1
     stats_finish(stats)
     disarm()
     return 0
+
+
+def _sw_run(cmd, align, align_many, resume, state):
+    if cmd.seq1 is not None:
+        align(cmd.seq1, cmd.seq2)
+
+    CHUNK = 256
+    for file1, file2 in cmd.file_pairs:
+        streaming = cmd.interactive or file1 in ("", "-")
+        if file1 == "" and file2 is None:
+            state["wait_on_keystroke"] = True
+            file1 = "-"
+        if streaming:
+            def one(r1, r2):
+                if resume.should_skip():
+                    return
+                align(r1[1], r2[1], r1[0], r2[0])
+                resume.done(1, state["alignment_index"])
+
+            align_from_file(file1, file2, one,
+                            use_zlib=not cmd.interactive)
+        else:
+            buf = []
+
+            def collect(r1, r2, buf=buf):
+                if resume.should_skip():
+                    return
+                buf.append((r1, r2))
+                if len(buf) >= CHUNK:
+                    align_many(buf)
+                    resume.done(len(buf), state["alignment_index"])
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True)
+            if buf:
+                align_many(buf)
+                resume.done(len(buf), state["alignment_index"])
 
 
 if __name__ == "__main__":

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..scoring.config import ScoringConfig, encode
+from ..scoring.config import ScoringConfig, UnknownCharPair, encode
 
 MATCH, GAP_A, GAP_B, DIR_FAIL = 0, 1, 2, 3
 
@@ -522,7 +522,7 @@ def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):
         if bad.any():
             i, j = np.argwhere(bad)[0]
             fold = sc.luts()[0]
-            raise ValueError(
+            raise UnknownCharPair(
                 "Unknown character pair (%c,%c) and match/mismatch have not "
                 "been set" % (chr(fold[ua[i]]), chr(fold[ub[j]]))
             )

@@ -29,7 +29,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from ..scoring.config import GAP_A, GAP_B, MATCH, ScoringConfig, encode
+from ..scoring.config import (GAP_A, GAP_B, MATCH, ScoringConfig,
+                              UnknownCharPair, encode)
 
 
 @dataclasses.dataclass
@@ -62,7 +63,7 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool):
         if badT.any():
             fold = sc.luts()[0]
             y0, x0 = np.argwhere(badT)[0]
-            raise ValueError(
+            raise UnknownCharPair(
                 "Unknown character pair (%c,%c) and match/mismatch have not "
                 "been set" % (chr(fold[a[x0]]), chr(fold[b[y0]]))
             )

@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..scoring.config import GAP_A, GAP_B, MATCH, ScoringConfig, encode
+from ..scoring.config import (GAP_A, GAP_B, MATCH, ScoringConfig,
+                              UnknownCharPair, encode)
 
 _MATRIX_NAME = {MATCH: "MATCH", GAP_A: "GAP_A", GAP_B: "GAP_B"}
 
@@ -115,7 +116,10 @@ def fill_matrices(sc: ScoringConfig, seq_a, seq_b, is_sw: bool,
         for x in range(1, w):
             ca, cb = a[x - 1], b[y - 1]
             if not valid_lut[ca, cb]:
-                raise ValueError(f"Unknown character pair ({chr(ca)},{chr(cb)})")
+                fold = sc.luts()[0]
+                raise UnknownCharPair(
+                    "Unknown character pair (%c,%c) and match/mismatch have"
+                    " not been set" % (chr(fold[ca]), chr(fold[cb])))
             sub = int(sub_lut[ca, cb])
             is_match = bool(is_match_lut[ca, cb])
 

@@ -47,6 +47,12 @@ def _tolower_table() -> np.ndarray:
 _TOLOWER = _tolower_table()
 
 
+class UnknownCharPair(ValueError):
+    """scoring_lookup's fatal unknown-pair error (alignment_scoring.c:
+    177-182): the reference prints 'Error: <msg>' to stderr and exits 1;
+    the CLIs catch this type to reproduce that byte-for-byte."""
+
+
 @dataclasses.dataclass
 class ScoringConfig:
     """Mirror of ``scoring_t`` (alignment_scoring.h:19-40) plus compiled LUTs."""
@@ -238,7 +244,7 @@ class ScoringConfig:
         fold, sub, is_match, valid = self.luts()
         ai, bi = _as_byte(a), _as_byte(b)
         if not valid[ai, bi]:
-            raise ValueError(
+            raise UnknownCharPair(
                 f"Unknown character pair ({chr(fold[ai])},{chr(fold[bi])}) and "
                 "match/mismatch have not been set"
             )

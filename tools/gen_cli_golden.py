@@ -95,6 +95,16 @@ def cases():
         case("nw_mismatch_sentinel", "needleman_wunsch",
              ["--printmatrices", "--match", "1", "--mismatch", "-9",
               "CAG", "CGA"]),
+        # scoring_lookup's fatal unknown-pair error (alignment_scoring.c:
+        # 177-182): --case_sensitive loads the matrix unfolded but is never
+        # propagated into scoring_t (bug-compat), so folded lookups miss
+        case("nw_unknown_pair", "needleman_wunsch",
+             ["--case_sensitive", "--substitution_matrix",
+              "seqalign_tpu/data/scoring/BLOSUM62.txt", "--nomismatches",
+              "L", "RYGINL"]),
+        case("sw_unknown_pair", "smith_waterman",
+             ["--case_sensitive", "--substitution_matrix",
+              "seqalign_tpu/data/scoring/BLOSUM62.txt", "L", "RYGINL"]),
         case("nw_nomismatch", "needleman_wunsch",
              ["--nomismatches", "--printscores", "cgatcga", "catcctcga"]),
         case("nw_custom_scores", "needleman_wunsch",
