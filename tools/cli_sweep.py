@@ -32,9 +32,12 @@ FLAGPOOL = [
     ["--freestartgap"], ["--freeendgap"], ["--case_sensitive"],
     ["--match", "3", "--mismatch", "-5"], ["--gapopen", "-7"],
     ["--gapextend", "-3"], ["--wildcard", "N", "1"],
-    ["--scoring", "PAM30"],
+    ["--scoring", "PAM30"], ["--scoring", "DNA_HYBRIDIZATION"],
     ["--substitution_matrix", "seqalign_tpu/data/scoring/BLOSUM62.txt"],
+    ["--substitution_pairs", "tests/golden/cli/inputs/subpairs.txt"],
+    ["--wildcard", "n", "-3"], ["--gapopen", "0"], ["--gapextend", "0"],
     ["--zam"], ["--printfasta"], ["--context", "3"], ["--maxhits", "2"],
+    ["--context", "0"], ["--minscore", "0"], ["--maxhits", "1"],
 ]
 NW_ONLY = {"--freestartgap", "--freeendgap", "--printscores", "--zam"}
 SW_ONLY = {"--context", "--maxhits", "--minscore"}
