@@ -206,10 +206,17 @@ def _run_alignments(cmd, align, align_many, resume):
                     resume.done(len(buf))
                     del buf[:]
 
-            align_from_file(file1, file2, collect, use_zlib=True)
-            if buf:
-                align_many(buf)
-                resume.done(len(buf))
+            def flush(buf=buf):
+                # drained at the reader's end-of-input point so a fatal
+                # alignment error pre-empts the EOF warnings like the
+                # reference (see io.seqio.align_from_file)
+                if buf:
+                    align_many(buf)
+                    resume.done(len(buf))
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True,
+                            flush=flush)
 
 
 if __name__ == "__main__":

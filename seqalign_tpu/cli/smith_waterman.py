@@ -293,10 +293,17 @@ def _sw_run(cmd, align, align_many, resume, state):
                     resume.done(len(buf), state["alignment_index"])
                     del buf[:]
 
-            align_from_file(file1, file2, collect, use_zlib=True)
-            if buf:
-                align_many(buf)
-                resume.done(len(buf), state["alignment_index"])
+            def flush(buf=buf):
+                # drained at the reader's end-of-input point so a fatal
+                # alignment error pre-empts the EOF warnings like the
+                # reference (see io.seqio.align_from_file)
+                if buf:
+                    align_many(buf)
+                    resume.done(len(buf), state["alignment_index"])
+                    del buf[:]
+
+            align_from_file(file1, file2, collect, use_zlib=True,
+                            flush=flush)
 
 
 if __name__ == "__main__":

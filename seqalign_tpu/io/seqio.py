@@ -167,10 +167,16 @@ def read_seqs(path_or_fh, use_zlib: bool = True) -> Iterator[Record]:
 
 
 def align_from_file(path1: str, path2: Optional[str], callback,
-                    use_zlib: bool = True) -> None:
+                    use_zlib: bool = True, flush=None) -> None:
     """Pair-streaming driver mirroring ``align_from_file``
     (alignment_cmdline.c:578-640): one file => two records at a time;
-    two files => one record from each.  Warnings byte-match the reference."""
+    two files => one record from each.  Warnings byte-match the reference.
+
+    ``flush`` is called before any end-of-input warning: the reference
+    aligns DURING reading, so a fatal alignment error (e.g. unknown char
+    pair) pre-empts the odd-count/empty warnings — a chunk-buffering
+    caller must drain its buffer at the same point to keep stderr
+    ordering byte-identical."""
     def _open_records(path):
         if path != "-" and use_zlib:
             from . import native
@@ -203,6 +209,8 @@ def align_from_file(path1: str, path2: Optional[str], callback,
     for r1 in s1:
         r2 = next(s2, None)
         if r2 is None:
+            if flush is not None:
+                flush()
             sys.stderr.write(
                 "Alignment Error: Odd number of sequences - I read in pairs!\n"
             )
@@ -210,6 +218,9 @@ def align_from_file(path1: str, path2: Optional[str], callback,
             break
         callback(r1, r2)
         alignments += 1
+    else:
+        if flush is not None:
+            flush()
     if alignments == 0:
         sys.stderr.write("Alignment Warning: empty input\n")
         sys.stderr.flush()

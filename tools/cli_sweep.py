@@ -60,12 +60,41 @@ def _run(binname, args):
     return ok, ours, ref
 
 
+def _write_seq_file(rng, path, nrec, alpha):
+    """Random FASTA/FASTQ/plain, optionally gzipped (seq_file surface)."""
+    import gzip as _gzip
+
+    kind = rng.choice(["fasta", "fastq", "plain"])
+    recs = []
+    for i in range(nrec):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 25)))
+        if kind == "fasta":
+            recs.append(f">r{i}\n{s}\n")
+        elif kind == "fastq":
+            recs.append(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+        else:
+            recs.append(s + "\n")
+    data = "".join(recs)
+    if rng.random() < 0.4:
+        path += ".gz"
+        with open(path, "wb") as raw, _gzip.GzipFile(
+                fileobj=raw, mode="wb", mtime=0) as fh:
+            fh.write(data.encode())
+    else:
+        with open(path, "w") as fh:
+            fh.write(data)
+    return path
+
+
 def main():
+    import tempfile
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else random.randrange(2**31)
     rng = random.Random(seed)
     if not os.path.exists(f"{REF}/needleman_wunsch"):
         sys.exit("build the reference first: sh tools/build_reference.sh")
+    tmpd = tempfile.mkdtemp(prefix="cli_sweep_")
 
     def rand_seq(alpha):
         return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30)))
@@ -90,7 +119,25 @@ def main():
         flags = out
         prot = "--scoring" in flags or "BLOSUM62.txt" in " ".join(flags)
         alpha = "ARNDCQEGHILKMFPSTWYV" if prot else "acgtn"
-        args = flags + [rand_seq(alpha), rand_seq(alpha)]
+        if rng.random() < 0.25:
+            # file mode (align_from_file surface: FASTA/FASTQ/plain +
+            # gzip, pairs-from-one-file or one-from-each, odd-count
+            # warnings)
+            i = rng.randrange(10**9)
+            if rng.random() < 0.5:
+                f1 = _write_seq_file(rng, os.path.join(tmpd, f"a{i}"),
+                                     rng.randint(1, 7), alpha)
+                args = flags + ["--file", f1]
+            else:
+                nrec = rng.randint(1, 5)
+                f1 = _write_seq_file(rng, os.path.join(tmpd, f"a{i}"),
+                                     nrec, alpha)
+                f2 = _write_seq_file(
+                    rng, os.path.join(tmpd, f"b{i}"),
+                    max(1, nrec + rng.randint(-1, 1)), alpha)
+                args = flags + ["--files", f1, f2]
+        else:
+            args = flags + [rand_seq(alpha), rand_seq(alpha)]
         ok, ours, ref = _run(binname, args)
         if ok:
             continue
