@@ -72,7 +72,11 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
     rng = np.random.default_rng(0)
     bseq = lut[rng.integers(0, len(lut), (B, L))]
     _, _, subK, imK = dp.compact_inputs(sc, bseq, bseq)
-    inline = (not lut_mode) and dp.mm_eligible(sc) and max(1, TL // L) == 1
+    # mirror the library's dispatch (aligners._scores_auto): equality
+    # configs ride the in-kernel scoring path at EVERY length — the
+    # lane-packed interleaved layout covers L < 512 too (round 2 benched
+    # the plane path at L=128 by mistake: 8.1 GCUPS vs the real 58.8)
+    inline = (not lut_mode) and dp.mm_eligible(sc)
     lutk = 0
     if lut_mode:
         from seqalign_tpu.aligners import _lut_k
@@ -110,7 +114,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                         interpret=interp,
                         match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
-                        unroll=16 if inline and L <= 512 else 8,
+                        unroll=8,  # matches aligners._scores_auto
                     )
                     acc = s.sum()
                 else:

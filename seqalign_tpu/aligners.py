@@ -189,12 +189,11 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                 nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
                 nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
                 nmm=sc.no_mismatches,
-                # short sweeps are grid-step-bound: deeper unroll halves
-                # the step count (measured +30% at L=128, neutral at
-                # L=512).  The unrolled temporaries live on the kernel's
-                # VMEM stack, so K=16 only fits standard 512-lane rows
-                # (LBt=1024 overflowed by 24KB)
-                unroll=_pallas_unroll(16 if inline and lb <= 512 else 8),
+                # K=8 measured fastest across L=128..1024 in round 3
+                # (78.7 vs 68.6 GCUPS at L=512 K=16; 58.8 vs 20.6 at
+                # L=128 — the round-2 "+30% at K=16" result did not
+                # reproduce after the staging rework)
+                unroll=_pallas_unroll(8),
             )
             return np.asarray(out)
         except Exception:
