@@ -60,10 +60,12 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
     import jax
     import jax.numpy as jnp
 
+    from seqalign_tpu.aligners import _v2_scores_eligible
     from seqalign_tpu.ops import dp
     from seqalign_tpu.ops.pallas_dp import (
         TL, f32_safe, pallas_fill_dirs, pallas_scores,
     )
+    from seqalign_tpu.ops.pallas_dp2 import pallas_scores2
 
     interp = jax.default_backend() == "cpu"  # CI smoke: interpret mode
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
@@ -103,11 +105,28 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                 xs.append(dp.compact_inputs(sc, aseq, bseq)[0])
         return jax.block_until_ready(jnp.asarray(np.stack(xs)))
 
+    v2 = None
+    if kind == "scores":
+        # mirror aligners._scores_auto: eligible configs dispatch to the
+        # round-3 chained kernel (pallas_dp2)
+        v2 = _v2_scores_eligible(sc, inline, None if inline else subK,
+                                 L, L)
+
     def make_many(V):
         @jax.jit
         def many(xs, salt):
             def body(carry, aa):
-                if kind == "scores":
+                if kind == "scores" and v2 is not None:
+                    s = pallas_scores2(
+                        aa, bc, na, nb, go, ge, is_sw=is_sw,
+                        match=np.int32(sc.match),
+                        mismatch=np.int32(sc.mismatch),
+                        subK=None if inline else subK,
+                        interpret=interp, nsg=sc.no_start_gap_penalty,
+                        lut_np=v2,
+                    )
+                    acc = s.sum()
+                elif kind == "scores":
                     s = pallas_scores(
                         aa, bc, na, nb, subK, imK, go, ge, mn, is_sw=is_sw,
                         use_f32=f32, inline_mm=inline, lut_k=lutk,

@@ -174,6 +174,25 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         if (sc.no_gaps_in_a or sc.no_gaps_in_b) and not inline and lut == 0:
             use_pallas = False  # plane path lacks the no-gaps guards
     if use_pallas:
+        v2 = _v2_scores_eligible(sc, inline, None if inline else subK,
+                                 la, lb)
+        if v2 is not None:
+            from .ops.pallas_dp2 import pallas_scores2
+
+            try:
+                out = pallas_scores2(
+                    jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+                    jnp.asarray(nb), np.int32(sc.gap_open),
+                    np.int32(sc.gap_extend), is_sw=is_sw,
+                    match=np.int32(sc.match),
+                    mismatch=np.int32(sc.mismatch),
+                    subK=None if inline else jnp.asarray(subK),
+                    interpret=_pallas_mode() == "interpret",
+                    nsg=sc.no_start_gap_penalty, lut_np=v2,
+                )
+                return np.asarray(out)
+            except Exception:
+                _pallas_failed("scores2")
         try:
             out = pallas_scores(
                 jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
@@ -205,6 +224,36 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
     if is_sw:
         return np.asarray(out.best)
     return np.asarray(out.corner).max(axis=1)
+
+
+def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
+                        la: int, lb: int):
+    """Gate for the round-3 chained scores kernel (ops/pallas_dp2):
+    default flags or free-START gaps only, in-kernel scoring (equality
+    or packed-LUT), f32-exactness over the chained band.  Returns the
+    packed-LUT plane count (0 for equality mode) or None when the v1
+    kernel should run instead.  ``SEQALIGN_V2=off`` pins the v1 path."""
+    if os.environ.get("SEQALIGN_V2") == "off":
+        return None
+    if (sc.no_end_gap_penalty or sc.no_gaps_in_a or sc.no_gaps_in_b
+            or sc.no_mismatches):
+        return None
+    from .ops.pallas_dp2 import chain_geometry, f32_safe2, lut2_eligible
+
+    if inline:
+        lut_np = 0
+    else:
+        # b-pad leak bound in lut2_eligible additionally needs
+        # non-positive penalties (pallas_dp2._bake_packed_planes)
+        if sc.gap_extend > 0 or sc.gap_open > 0:
+            return None
+        lut_np = lut2_eligible(sc, subK)
+        if lut_np == 0:
+            return None
+    geo = chain_geometry(1, la, lb)
+    if not f32_safe2(sc, la, lb, geo["C"], geo["W"]):
+        return None
+    return lut_np
 
 
 def _lut_k(subK) -> int:

@@ -1,0 +1,572 @@
+"""Pallas TPU wavefront kernel v2: chained, drift-removed scores fill.
+
+Round-3 rework of the scores-only kernel (``pallas_dp.pallas_scores``)
+attacking its two measured structural costs on TPU v5e:
+
+* **Anti-diagonal ramp waste.**  A single pair swept over D = LA+LBt-1
+  diagonals keeps only ~LA*LBt / (D*LBt) ~= 50% of lane-slots on real
+  cells.  v2 **chains C pairs along the a-axis** in each lane row: the
+  row sweeps one long composite band of C*W + LBt diagonals (W ~= LA+1),
+  and each pair's x=0 boundary column is *injected* at its chunk border
+  exactly like the single-pair kernel injects the global x=0 column —
+  the wavefront never drains between pairs, so lane utilization rises to
+  C*LA / (C*W + LBt) (~89% at C=8, L=512).  The per-lane b-codes (and
+  NW capture metadata) ride along: they transition lane-by-lane at the
+  same boundary mask the state injection already computes, fed from
+  per-chunk input blocks.
+
+* **Per-cell op count.**  Two algebraic rewrites, both exact:
+
+  - **drift removal**: track X'(d) = X(d) - ge*d.  The gap-extend adds
+    vanish (E' = max(H'+go, E'), F' = max(H'+go, F')) and the row-0
+    boundary gap runs become per-chunk *constants*;
+  - **G-folding**: track G = H' + go instead of H'.  The two H+go
+    summands (one shifted, one not) collapse into G computed once, and
+    the M-predecessor add folds into the match/mismatch constants
+    (MT = match - 2*ge - go, MM likewise).
+
+  Per-diagonal vector work drops from 5 adds + 4 maxes to 2 adds +
+  4 maxes (NW) before boundary selects.  Exactness: all values are
+  integers; the f32 caller gate (:func:`f32_safe2`) bounds |value| +
+  |drift| + |POISON| under 2**24 where f32 integer arithmetic is exact.
+
+Recurrence source: /root/reference/src/alignment.c:89-167 (Gotoh, with
+gop = gap_open + gap_extend per alignment.c:38-39); boundary closed
+forms alignment.c:51-81.  Scores reduction H = max(M,Ga,Gb) as in
+``pallas_dp`` (module docstring there proves it for gap_open <= 0).
+
+Scoring modes: in-kernel equality (``compact_inputs_mm`` codes) or
+packed-LUT (small-alphabet substitution matrices: per-b-lane score
+bytes packed 4-per-int32 into ceil(Ka/4) planes, selected by a bit-tree
+over the rolling a-codes then byte-extracted — ~2x fewer vector ops
+than the v1 per-letter select chain, and it keeps working across chain
+transitions because the planes ride the same boundary select as the
+state).  Flags: default or ``nsg`` (free start gaps).  Other modes
+(neg/nga/ngb/nmm, plane streaming, int32) stay on the v1 kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dp import PADA, PADB, POISON, TL
+
+NEG = float(np.float32(-np.inf))
+
+
+def f32_safe2(sc, LA, LBt, C, W) -> bool:
+    """f32 bit-exactness gate for the chained kernel: every DP value,
+    drift term, G-fold, and poisoned intermediate must be an integer of
+    magnitude < 2**24.  Conservative bound over the composite band of
+    D_last ~= C*W + LBt diagonals."""
+    D = C * W + LBt + 2
+    tmn, tmx = sc.true_penalty_bounds()
+    mp = max(abs(tmn), abs(tmx), abs(sc.gap_open) + abs(sc.gap_extend), 1)
+    bound = (LA + LBt + 2) * mp + 2 * abs(sc.gap_open) \
+        + 2 * abs(sc.gap_extend) * D
+    return bound + (1 << 22) < (1 << 23)
+
+
+def lut2_planes(Ka: int) -> int:
+    """Packed-LUT plane count for an a-alphabet of Ka letters (0 = mode
+    unavailable): 4 scores per int32 plane, tree depths 1/2/4/8."""
+    for np_ in (1, 2, 4, 8):
+        if Ka <= 4 * np_:
+            return np_
+    return 0
+
+
+def lut2_eligible(sc, subK) -> int:
+    """Packed-LUT mode gate -> plane count (0 = ineligible).  The b-pad
+    bake (-128 byte) keeps pad cells below any real cell only while
+    per-step gap improvements can't exceed the 128 margin over real
+    scores; every shipped matrix + sane gap config passes."""
+    if np.abs(np.asarray(subK)).max(initial=0) > 127:
+        return 0
+    if 2 * abs(sc.gap_extend) + abs(sc.gap_open) >= 96:
+        return 0
+    return lut2_planes(int(subK.shape[0]))
+
+
+def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0):
+    """Lane/chain geometry: P = lane-packed pairs per row (interleaved),
+    C pairs chained along a per slot, BS sublanes per grid row-chunk.
+    ``chain``/``bs`` 0 = auto.  W >= LBt is required so at most one
+    chunk's transition band is active per diagonal."""
+    P = max(1, TL // LBt)
+    if P > 1 and (LBt & (LBt - 1)) != 0:
+        P = 1
+    LN = P * LBt
+    W = -(-max(LA + 1, LBt) // K) * K
+    if chain <= 0:
+        # C=4 with BS=64 measured best at B=256 L=512 (99.5 GCUPS vs
+        # 97.6 at C=2/BS=128 and 86.9 at C=8/BS=32, same process); short
+        # rows (P>1) top out at C=2.  Deeper chains shrink the sublane
+        # chunk below the issue-efficiency knee.
+        chain = max(1, min(4, B // (P * 32)))
+    C = chain
+    if bs <= 0:
+        need = -(-B // (P * C))
+        # VMEM residency: ~11 state planes + in/out blocks per sublane
+        cap = max(8, (8 << 20) // (LN * 60))
+        while cap & (cap - 1):
+            cap &= cap - 1
+        bs = 8
+        while bs < min(128, cap, need):
+            bs *= 2
+    BS = min(128, bs)
+    nB = -(-B // (BS * P * C))
+    m = W // K
+    # block t sweeps diagonals [t*K + 1, t*K + K]: chunk c's transition
+    # band [c*W + 1, c*W + LBt] then lies entirely within its own blocks
+    # t in [c*m, c*m + bb]
+    bb = (LBt - 1) // K
+    D_last = (C - 1) * W + LA + LBt
+    DK = -(-D_last // K)
+    SLOTS = (DK - 1) // m + 1
+    return dict(P=P, LN=LN, W=W, C=C, BS=BS, nB=nB, m=m, bb=bb, DK=DK,
+                SLOTS=SLOTS, K=K, D_last=D_last, ILV=P > 1)
+
+
+def _lut_tree(plv, avv, lut_np):
+    """Select the packed plane for each lane's current a-letter: binary
+    tree over the high bits of the code (log2(lut_np) select levels),
+    then extract the letter's byte (code & 3) and un-bias."""
+    hi = avv >> 2
+    ps = [plv[i] for i in range(lut_np)]
+    bit = 1
+    while len(ps) > 1:
+        sel = (hi & bit) != 0
+        ps = [jnp.where(sel, ps[i + 1], ps[i])
+              for i in range(0, len(ps), 2)]
+        bit <<= 1
+    byte = (ps[0] >> ((avv & 3) << 3)) & 0xFF
+    return byte - 0x80
+
+
+def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
+             cf32):
+    """Grid (nB, DK); diagonals d = t*K + 2 .. t*K + K + 1 per step t.
+
+    Scratch state (all (BS, LN)): SG1 = sh(G(d-1)), SG2 = sh(G(d-2)),
+    SE = sh(E'(d-1)), G_u/F_u unshifted, acc0/acc1 (NW: parity capture
+    planes; SW: snapshot plane / running accumulator), av rolling
+    a-codes, blv per-lane b-codes (eq mode) or pls packed LUT planes,
+    cdv0/cdv1 per-lane capture diagonals (NW)."""
+    lut = lut_np > 0
+    if is_sw:
+        (aw_ref, bl_ref, scal_ref, out_ref,
+         sg1, sg2, se, gu, fu, acc0, acc1, av, bls) = refs
+    else:
+        (aw_ref, bl_ref, cd_ref, capg_ref, scal_ref, out_ref,
+         sg1, sg2, se, gu, fu, acc0, acc1, av, bls, cdv) = refs
+    f32 = jnp.float32
+    i32 = jnp.int32
+    # codes + capture metadata dtype: int32 vs f32 measured within ~5%
+    # of each other (same-process A/B); int32 is the default, the f32
+    # variant is kept behind codes_f32 for tuning.  The lut bit-tree
+    # always needs int32 codes/planes.
+    cdt = i32 if (lut_np > 0 or not cf32) else f32
+    ib = pl.program_id(0)
+    t = pl.program_id(1)
+    d0 = t * K + 1
+    c = t // m  # chunk (pair-chain slot) of this block
+    lt = t - c * m
+    cW = c * W
+    go = scal_ref[0]
+    ge = scal_ref[1]
+    MT = scal_ref[2]  # match - 2*ge - go (eq) / -2*ge - go (lut bias)
+    MM = scal_ref[3]
+    LN = P * LBt
+    SH = P
+    lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    y0 = lane // P if P > 1 else lane
+    y0c = y0.astype(f32) if cf32 else y0  # lane index in the mask dtype
+    bstart = y0 == 0
+
+    def shift(v, fillv):
+        return jnp.concatenate(
+            [jnp.full((BS, SH), fillv, v.dtype), v[:, : LN - SH]], axis=1)
+
+    def sdrift(d):
+        return -ge * jnp.asarray(d, i32).astype(f32)
+
+    @pl.when(t == 0)
+    def _init():
+        # state entering diagonal 1: nothing computed yet — the whole x=0
+        # boundary column arrives via the chunk-0 at_t injections (lane y0
+        # at d = y0 + 1), and the only pre-existing value is the (0,0)
+        # corner (H = 0, both SW and NW) entering as the SG1 lane-0 fill:
+        # G(0,0) = 0 + go with zero drift at d = 0
+        ninf = jnp.full((BS, LN), NEG, f32)
+        av[...] = jnp.full((BS, LN), PADA, cdt)
+        bls[...] = bl_ref[0, 0]
+        gu[...] = ninf
+        fu[...] = ninf
+        sg1[...] = jnp.where(bstart, go, NEG)
+        se[...] = ninf
+        sg2[...] = ninf
+        if not is_sw:
+            cdv[...] = cd_ref[0, 0]
+        acc0[...] = ninf
+        acc1[...] = ninf
+
+    def sweep(trans: bool, cap: bool):
+        SG1, SG2, SE = sg1[...], sg2[...], se[...]
+        G_u, F_u = gu[...], fu[...]
+        a0v, a1v = acc0[...], acc1[...]
+        avv = av[...]
+        win = aw_ref[0, 0]
+        blvv = bls[...]
+        if trans:
+            bin_ = bl_ref[0, 0]
+        if cap or (trans and not is_sw):
+            cdvv = cdv[...]
+            if trans:
+                cdin = cd_ref[0, 0]
+        for k in range(K):
+            d = d0 + k
+            if lut:
+                ss = _lut_tree(blvv, avv, lut_np).astype(f32) + MT
+                if is_sw:
+                    ss = jnp.where(avv >= PADA, jnp.asarray(POISON, f32),
+                                   ss)
+            else:
+                ss = jnp.where(avv == blvv, MT, MM)
+                if is_sw:
+                    ss = jnp.where(avv + blvv >= PADA,
+                                   jnp.asarray(POISON, f32), ss)
+            e_new = jnp.maximum(SG1, SE)
+            f_new = jnp.maximum(G_u, F_u)
+            if is_sw:
+                sd = sdrift(d)
+                e_new = jnp.maximum(e_new, sd)
+                f_new = jnp.maximum(f_new, sd)
+            m_arg = SG2 + ss
+            h_new = jnp.maximum(m_arg, jnp.maximum(e_new, f_new))
+            if is_sw:
+                a1v = jnp.maximum(a1v - ge, m_arg)
+            g_new = h_new + go
+            if trans:
+                att_s = jnp.asarray(d - 1 - cW, i32)
+                at_t = y0c == (att_s.astype(f32) if cf32 else att_s)
+                if is_sw:
+                    sd = sdrift(d)
+                    g_sel, e_sel, f_sel = sd + go, sd, sd
+                elif nsg:
+                    sd = sdrift(d)
+                    g_sel, e_sel, f_sel = sd + go, sd, NEG
+                else:
+                    rc = go - ge * jnp.float32(cW)
+                    g_sel, e_sel, f_sel = rc + go, rc, NEG
+                g_new = jnp.where(at_t, g_sel, g_new)
+                e_new = jnp.where(at_t, e_sel, e_new)
+                f_new = jnp.where(at_t, f_sel, f_new)
+                if lut:
+                    blvv = jnp.where(at_t[None], bin_, blvv)
+                else:
+                    blvv = jnp.where(at_t, bin_, blvv)
+                if is_sw:
+                    a0v = jnp.where(at_t, a1v, a0v)  # snapshot pair c-1
+                    a1v = jnp.where(at_t, NEG, a1v)  # reset for pair c
+                else:
+                    cdvv = jnp.where(at_t, cdin, cdvv)
+            if cap:
+                df = jnp.asarray(d, i32)
+                if cf32:
+                    df = df.astype(f32)
+                a0v = jnp.where(cdvv == df, h_new, a0v)
+                a1v = jnp.where(cdvv == -df, h_new, a1v)
+            # shift fills: lane 0 enters cell (0, x=d) of chunk x // W
+            if is_sw:
+                gfill = sdrift(d) + go
+                efill = sdrift(d)
+            else:
+                efill = NEG
+                if nsg:
+                    gfill = go + sdrift(d)
+                else:
+                    cx = jnp.asarray(d, i32) // W
+                    base = go - ge * (cx * W).astype(f32)
+                    # x' = 0 (pair corner (0,0)): H = 0, not the gap run
+                    gfill = jnp.where(jnp.asarray(d, i32) == cx * W,
+                                      base, base + go)
+            SG2 = SG1
+            SG1 = shift(g_new, gfill)
+            SE = shift(e_new, efill)
+            G_u, F_u = g_new, f_new
+            avv = jnp.concatenate(
+                [win[:, (k + 1) * SH: (k + 2) * SH], avv[:, : LN - SH]],
+                axis=1)
+        sg1[...], sg2[...], se[...] = SG1, SG2, SE
+        gu[...], fu[...] = G_u, F_u
+        acc0[...], acc1[...] = a0v, a1v
+        av[...] = avv
+        bls[...] = blvv
+        if trans and not is_sw:
+            cdv[...] = cdvv
+
+    # NW cdv transitions must run even in blocks with no capture hit, and
+    # captures can fire outside the band — four specializations, each
+    # tracing only the work it needs (the cdv WRITE branch in sweep() only
+    # changes under trans, so the no-trans+cap branch re-reads but never
+    # writes cdv — correct because transitions only happen in-band).
+    # trailing blocks (t >= C*m, the last chunk's lower-right tail) have no
+    # further chunk: no transitions may fire there
+    in_band = (lt <= bb) & (c < C)
+    if is_sw:
+        @pl.when(in_band)
+        def _tr():
+            sweep(True, False)
+
+        @pl.when(jnp.logical_not(in_band))
+        def _no():
+            sweep(False, False)
+    else:
+        capb = capg_ref[ib, t] != 0
+
+        @pl.when(in_band & capb)
+        def _tc():
+            sweep(True, True)
+
+        @pl.when(in_band & jnp.logical_not(capb))
+        def _t():
+            sweep(True, False)
+
+        @pl.when(jnp.logical_not(in_band) & capb)
+        def _c():
+            sweep(False, True)
+
+        @pl.when(jnp.logical_not(in_band) & jnp.logical_not(capb))
+        def _n():
+            sweep(False, False)
+
+    @pl.when((lt == m - 1) | (t == pl.num_programs(1) - 1))
+    def _flush():
+        out_ref[0, 0, 0] = acc0[...]
+        out_ref[0, 0, 1] = acc1[...]
+
+
+def _pack_ilv2(v, nB, BS, P, C, LBt):
+    """(Bp, LBt) per-pair rows -> (nB, C, BS, LN) in the chained ilv lane
+    layout: pair (i, s, p, c) at block (i, c), sublane s, lanes p::P."""
+    x = v.reshape(nB, BS, P, C, LBt).transpose(0, 3, 1, 4, 2)
+    return x.reshape(nB, C, BS, P * LBt)
+
+
+def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
+            cf32=True):
+    """jnp staging for :func:`pallas_scores2` (runs under jit): chained
+    a-windows, per-chunk b/capture blocks, capture-gate table."""
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    P, C, BS, nB, W, K, DK = (geo["P"], geo["C"], geo["BS"], geo["nB"],
+                              geo["W"], geo["K"], geo["DK"])
+    Bp = nB * BS * P * C
+    if Bp != B:
+        pad = Bp - B
+        ac = jnp.pad(ac, ((0, pad), (0, 0)))
+        bc = jnp.pad(bc, ((0, pad), (0, 0)))
+        na = jnp.pad(na, (0, pad), constant_values=1)
+        nb = jnp.pad(nb, (0, pad), constant_values=1)
+    na = na.astype(jnp.int32)
+    nb = nb.astype(jnp.int32)
+
+    # poison a-pads, chain C pairs per row: A_chain[r, c*W + j] = a_c[j]
+    cdt = jnp.int32 if (lut_np > 0 or not cf32) else jnp.float32
+    acp = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1) < na[:, None],
+        ac, PADA).astype(cdt)
+    R = Bp // C
+    achain = jnp.pad(acp.reshape(R, C, LA), ((0, 0), (0, 0), (0, W - LA)),
+                     constant_values=PADA).reshape(R, C * W)
+    # overlapping entering-code windows aw[r, t, j] = A_chain[t*K + j - 1]
+    # (entering a-code at diagonal d is A_chain[d - 2]; blocks start at
+    # d0 = t*K + 1, so the window leads with one PADA at t = j = 0)
+    LAp = DK * K + K + 2
+    awin = jnp.pad(achain, ((0, 0), (1, LAp - C * W - 1)),
+                   constant_values=PADA)
+    main = awin[:, : DK * K].reshape(R, DK, K)
+    last = awin[:, K: DK * K + K: K].reshape(R, DK, 1)
+    aw = jnp.concatenate([main, last], axis=2)  # (R, DK, K+1)
+    aw = aw.reshape(nB, BS, P, DK, K + 1).transpose(0, 3, 1, 4, 2)
+    aw = aw.reshape(nB, DK, BS, (K + 1) * P)
+
+    if lut_np > 0:
+        bl = _bake_packed_planes(subK, bc, nb, nB, BS, P, C, LBt, lut_np)
+    else:
+        bcp = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+            bc, PADB).astype(cdt)
+        bl = _pack_ilv2(bcp, nB, BS, P, C, LBt)
+
+    cd = capg = None
+    if not is_sw:
+        # per-lane capture diagonals, split by chain parity: pair c's
+        # corner H lands at lane nb-1 on diagonal c*W + na + nb
+        cidx = jnp.arange(Bp, dtype=jnp.int32) % C
+        cvals = cidx * W + na + nb  # (Bp,)
+        onlane = (jax.lax.broadcasted_iota(jnp.int32, (Bp, LBt), 1)
+                  == nb[:, None] - 1)
+        mdt = jnp.float32 if cf32 else jnp.int32
+        # chain-parity sign split: even pairs' capture diagonals positive
+        # (land in acc0), odd negated (acc1) — one rolling plane suffices
+        # because a lane belongs to exactly one pair at a time
+        sgn = jnp.where((cidx[:, None] & 1) == 0, 1, -1)
+        cdm = jnp.where(onlane, cvals[:, None] * sgn, 0).astype(mdt)
+        cd = _pack_ilv2(cdm, nB, BS, P, C, LBt)
+        rows = jnp.arange(Bp, dtype=jnp.int32) // (BS * P * C)
+        tcd = jnp.clip((cvals - 1) // K, 0, DK - 1)
+        capg = jnp.zeros((nB, DK), jnp.int32).at[rows, tcd].set(1)
+    return dict(aw=aw, bl=bl, cd=cd, capg=capg, Bp=Bp, na=na, nb=nb)
+
+
+def _bake_packed_planes(subK, bc, nb, nB, BS, P, C, LBt, lut_np):
+    """Packed per-b-lane LUT planes: plane j lane l packs the biased
+    bytes (subK[4j+r, b_l] + 0x80) for r = 0..3; the b-pad column bakes
+    byte 0 (score -128 after bias) so pad cells score strongly negative.
+    int32 shifts wrap but the byte extraction is bit-exact."""
+    Ka, Kb = subK.shape
+    # biased score bytes, padded to 4*NP rows and a zero b-pad column
+    subB = jnp.pad(subK.astype(jnp.int32) + 0x80,
+                   ((0, 4 * lut_np - Ka), (0, 1)))
+    bcp = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, bc.shape, 1) < nb[:, None],
+        bc, Kb)
+    cols = subB[:, bcp]  # (4*NP, Bp, LBt)
+    packed = cols[0::4]
+    for r in range(1, 4):
+        packed = packed | (cols[r::4] << (8 * r))
+    x = packed.reshape(lut_np, nB, BS, P, C, LBt)
+    x = x.transpose(1, 4, 0, 2, 5, 3)  # (nB, C, NP, BS, LBt, P)
+    return x.reshape(nB, C, lut_np, BS, P * LBt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_sw", "interpret", "unroll", "bs", "chain",
+                     "nsg", "lut_np", "codes_f32"),
+)
+def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
+                   is_sw: bool, match=None, mismatch=None,
+                   subK=None,
+                   interpret: bool = False, unroll: int = 8,
+                   bs: int = 0, chain: int = 0, nsg: bool = False,
+                   lut_np: int = 0, codes_f32=None):
+    """Batched optimal scores (NW corner / SW best) via the chained v2
+    kernel.  ``ac``/``bc`` are ``dp.compact_inputs_mm`` codes (equality
+    mode) or ``dp.compact_inputs`` codes + ``subK`` with ``lut_np`` =
+    ceil(Ka/4) packed planes (small-alphabet matrix mode, gate with
+    :func:`lut2_eligible`).  Caller gates: :func:`f32_safe2`,
+    min(na, nb) >= 1, gap_open <= 0, gap_extend <= 0 (lut mode).
+    Returns (B,) int32."""
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    geo = chain_geometry(B, LA, LBt, K=unroll, chain=chain, bs=bs)
+    P, C, BS, nB, W, K, DK, SLOTS = (
+        geo["P"], geo["C"], geo["BS"], geo["nB"], geo["W"], geo["K"],
+        geo["DK"], geo["SLOTS"])
+    LN = P * LBt
+    m = geo["m"]
+    if codes_f32 is None:
+        codes_f32 = False  # same-process A/B: int32 codes >= f32 everywhere
+    st = _stage2(ac, bc, na, nb, geo, is_sw=is_sw, subK=subK,
+                 lut_np=lut_np, cf32=codes_f32)
+    f32 = jnp.float32
+    go = jnp.asarray(gap_open, f32)
+    ge = jnp.asarray(gap_extend, f32)
+    if lut_np > 0:
+        MT = -2.0 * ge - go  # bias added to every extracted LUT byte
+        MM = jnp.zeros((), f32)
+    else:
+        MT = jnp.asarray(match, f32) - 2.0 * ge - go
+        MM = jnp.asarray(mismatch, f32) - 2.0 * ge - go
+    scal = jnp.stack([go, ge, MT, MM])
+
+    kernel = functools.partial(
+        _kernel2, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, W=W, m=m,
+        bb=geo["bb"], C=C, nsg=nsg, lut_np=lut_np, cf32=codes_f32)
+    slot_map = (lambda i, t: (i, jnp.minimum(t // m, SLOTS - 1), 0, 0, 0))
+    if lut_np > 0:
+        bl_spec = pl.BlockSpec(
+            (1, 1, lut_np, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0, 0))
+        bl_scratch = pltpu.VMEM((lut_np, BS, LN), jnp.int32)
+    else:
+        bl_spec = pl.BlockSpec(
+            (1, 1, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0))
+        bl_scratch = pltpu.VMEM(
+            (BS, LN), jnp.float32 if codes_f32 else jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, t: (i, t, 0, 0)),
+        bl_spec,
+    ]
+    args = [st["aw"], st["bl"]]
+    if not is_sw:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args += [st["cd"], st["capg"]]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args.append(scal)
+
+    avdt = jnp.int32 if (lut_np > 0 or not codes_f32) else jnp.float32
+    mdt = jnp.float32 if codes_f32 else jnp.int32
+    scratch = [pltpu.VMEM((BS, LN), f32)] * 7 \
+        + [pltpu.VMEM((BS, LN), avdt), bl_scratch]
+    if not is_sw:
+        scratch += [pltpu.VMEM((BS, LN), mdt)]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nB, DK),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, 2, BS, LN), slot_map),
+        out_shape=jax.ShapeDtypeStruct((nB, SLOTS, 2, BS, LN), f32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    Bp = st["Bp"]
+    naj, nbj = st["na"], st["nb"]
+    cidx = jnp.arange(Bp, dtype=jnp.int32) % C
+    rows = jnp.arange(Bp, dtype=jnp.int32) // C
+    pairs = out.reshape(nB, SLOTS, 2, BS, LBt, P)
+    pairs = pairs.transpose(0, 3, 5, 1, 2, 4).reshape(
+        Bp // C, SLOTS, 2, LBt)
+    if is_sw:
+        # pair c < C-1: snapshot plane 0 of slot c+1, undrifted per lane
+        # at its transition-out diagonal (c+1)*W + y0 + 1; pair C-1:
+        # running plane 1 of the final slot, undrifted at d_last
+        y = jnp.arange(LBt, dtype=jnp.int32)
+        d_last = DK * K
+
+        def per_pair(r, cc):
+            snap = pairs[r, jnp.minimum(cc + 1, SLOTS - 1), 0]
+            snap = snap + ge * ((cc + 1) * W + y + 1).astype(f32)
+            fin = pairs[r, SLOTS - 1, 1] + ge * jnp.float32(d_last)
+            return jnp.max(jnp.where(cc == C - 1, fin, snap))
+
+        vals = jax.vmap(per_pair)(rows, cidx)
+        vals = jnp.maximum(vals, 0.0)
+        return vals[:B].astype(jnp.int32)
+    # NW: pair c's corner H' sits in parity plane c&1 of slot
+    # min(c+1, last) at lane nb-1; undrift by + ge * capture diagonal
+    cdiag = cidx * W + naj + nbj
+
+    def per_pair_nw(r, cc, nbv, cdv):
+        v = pairs[r, jnp.minimum(cc + 1, SLOTS - 1), cc & 1, nbv - 1]
+        return v + ge * cdv.astype(f32)
+
+    vals = jax.vmap(per_pair_nw)(rows, cidx, nbj, cdiag)
+    INT_MIN32 = jnp.float32(np.iinfo(np.int32).min)
+    vals = jnp.where(jnp.isinf(vals), INT_MIN32, vals)
+    return vals[:B].astype(jnp.int32)

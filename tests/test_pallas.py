@@ -219,18 +219,28 @@ def test_scores_auto_routes_lut(monkeypatch):
     the Pallas LUT mode (lut_k > 0) and still produce exact scores."""
     import seqalign_tpu.aligners as al
     import seqalign_tpu.ops.pallas_dp as pdp
+    import seqalign_tpu.ops.pallas_dp2 as pdp2
 
     monkeypatch.setenv("SEQALIGN_FORCE", "device")
     monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
     monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
     seen = []
     orig = pdp.pallas_scores
+    orig2 = pdp2.pallas_scores2
 
     def spy(*a, **k):
         seen.append(k.get("lut_k", 0))
         return orig(*a, **k)
 
+    def spy2(*a, **k):
+        # the round-3 chained kernel owns eligible matrix configs now;
+        # its packed-LUT mode is the same in-kernel-scoring contract
+        seen.append(k.get("lut_np", 0))
+        return orig2(*a, **k)
+
     monkeypatch.setattr(pdp, "pallas_scores", spy)
+    monkeypatch.setattr(pdp2, "pallas_scores2", spy2)
+    monkeypatch.setattr(al, "pallas_scores2", spy2, raising=False)
     sc, alpha = _lut_cfgs()["wild"]
     rng = np.random.default_rng(11)
     seqs_a = ["".join(rng.choice(list(alpha), rng.integers(2, 30)))

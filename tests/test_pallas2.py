@@ -1,0 +1,127 @@
+"""v2 chained scores kernel (ops/pallas_dp2) — interpret-mode exactness
+against the v1 XLA fill across modes, chain counts, and ragged batches,
+plus the aligners dispatch gate."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from seqalign_tpu.ops import dp  # noqa: E402
+from seqalign_tpu.ops.pallas_dp2 import (  # noqa: E402
+    chain_geometry, f32_safe2, lut2_eligible, pallas_scores2,
+)
+from seqalign_tpu.scoring.config import ScoringConfig  # noqa: E402
+from seqalign_tpu.scoring.presets import (  # noqa: E402
+    scoring_system_BLOSUM62,
+    scoring_system_default,
+    scoring_system_sw_default,
+)
+
+DNA = b"acgt"
+PROT = b"ARNDCQEGHILKMFPSTWYV"
+
+CASES = [
+    # (name, sc_factory, is_sw, lut, alpha, B, LA, LB, chain)
+    ("nw_c1", scoring_system_default, False, False, DNA, 12, 48, 48, 1),
+    ("nw_c4", scoring_system_default, False, False, DNA, 16, 48, 48, 4),
+    ("sw_c4", scoring_system_sw_default, True, False, DNA, 16, 48, 48, 4),
+    ("nw_ragged", scoring_system_default, False, False, DNA, 13, 80, 48, 3),
+    ("sw_ragged", scoring_system_sw_default, True, False, DNA, 13, 80, 48,
+     3),
+    ("nw_nsg", lambda: ScoringConfig(1, -2, -4, -1,
+                                     no_start_gap_penalty=True),
+     False, False, DNA, 10, 48, 48, 3),
+    ("nw_ilv", scoring_system_default, False, False, DNA, 24, 32, 32, 2),
+    ("sw_ilv", scoring_system_sw_default, True, False, DNA, 24, 32, 32, 2),
+    ("nw_blosum", scoring_system_BLOSUM62, False, True, PROT, 10, 48, 48,
+     3),
+    ("sw_blosum", scoring_system_BLOSUM62, True, True, PROT, 10, 48, 48,
+     3),
+    ("nw_ab_short_a", scoring_system_default, False, False, DNA, 10, 17,
+     48, 3),
+    ("nw_zero_gaps", lambda: ScoringConfig(1, -1, 0, 0), False, False,
+     DNA, 10, 48, 48, 3),
+    ("sw_zero_gaps", lambda: ScoringConfig(2, -1, 0, 0), True, False,
+     DNA, 10, 48, 48, 3),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_v2_scores_vs_xla(case):
+    name, scf, is_sw, lut, alpha, B, LA, LB, chain = case
+    sc = scf()
+    lutarr = np.frombuffer(alpha, dtype=np.uint8)
+    rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    seqs_a, seqs_b = [], []
+    for _ in range(B):
+        la = int(rng.integers(1, LA + 1))
+        lb = int(rng.integers(1, LB + 1))
+        seqs_a.append(
+            bytes(lutarr[rng.integers(0, len(lutarr), la)]).decode())
+        seqs_b.append(
+            bytes(lutarr[rng.integers(0, len(lutarr), lb)]).decode())
+    a, na = dp.pad_batch(seqs_a, pad_to=LA)
+    b, nb = dp.pad_batch(seqs_b, pad_to=LB)
+    if lut:
+        ac, bc, subK, _ = dp.compact_inputs(sc, a, b)
+        lut_np = lut2_eligible(sc, subK)
+        assert lut_np > 0
+        match = mismatch = None
+        subj = jnp.asarray(subK)
+    else:
+        assert dp.mm_eligible(sc)
+        ac, bc = dp.compact_inputs_mm(sc, a, b)
+        lut_np = 0
+        match, mismatch = np.int32(sc.match), np.int32(sc.mismatch)
+        subj = None
+    geo = chain_geometry(B, LA, LB, chain=chain, bs=8)
+    assert f32_safe2(sc, LA, LB, geo["C"], geo["W"])
+    got = np.asarray(pallas_scores2(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+        jnp.asarray(nb), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        is_sw=is_sw, match=match, mismatch=mismatch, subK=subj,
+        interpret=True, chain=chain, bs=8,
+        nsg=sc.no_start_gap_penalty, lut_np=lut_np))
+    out, _, _ = dp.fill_batch(sc, seqs_a, seqs_b, is_sw=is_sw,
+                              emit_dirs=False, pow2_pad=True,
+                              validate=False)
+    want = (np.asarray(out.best) if is_sw
+            else np.asarray(out.corner).max(axis=1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_v2_gate_rejects_unsupported_modes():
+    from seqalign_tpu.aligners import _v2_scores_eligible
+
+    neg = ScoringConfig(1, -2, -4, -1, no_end_gap_penalty=True)
+    assert _v2_scores_eligible(neg, True, None, 128, 128) is None
+    nga = ScoringConfig(1, -2, -4, -1, no_gaps_in_a=True)
+    assert _v2_scores_eligible(nga, True, None, 128, 128) is None
+    ok = scoring_system_default()
+    assert _v2_scores_eligible(ok, True, None, 128, 128) == 0
+    # large-alphabet matrix -> packed planes
+    b62 = scoring_system_BLOSUM62()
+    a, _ = dp.pad_batch(["ARND"], pad_to=8)
+    _, _, subK, _ = dp.compact_inputs(b62, a, a)
+    lp = _v2_scores_eligible(b62, False, subK, 128, 128)
+    assert lp and lp * 4 >= subK.shape[0]
+
+
+def test_v2_via_aligners_dispatch(monkeypatch):
+    """The library dispatch routes eligible device batches through v2
+    (interpret mode) and stays bit-identical."""
+    from seqalign_tpu import aligners
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
+    rng = np.random.default_rng(5)
+    lutarr = np.frombuffer(DNA, dtype=np.uint8)
+    seqs = [bytes(lutarr[rng.integers(0, 4, rng.integers(1, 33))]).decode()
+            for _ in range(24)]
+    nw = aligners.NeedlemanWunsch()
+    got = nw.score_batch(seqs[:12], seqs[12:])
+    monkeypatch.setenv("SEQALIGN_V2", "off")
+    want = nw.score_batch(seqs[:12], seqs[12:])
+    np.testing.assert_array_equal(got, want)
