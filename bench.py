@@ -65,7 +65,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
     from seqalign_tpu.ops.pallas_dp import (
         TL, f32_safe, pallas_fill_dirs, pallas_scores,
     )
-    from seqalign_tpu.ops.pallas_dp2 import pallas_scores2
+    from seqalign_tpu.ops.pallas_dp2 import (
+        pallas_fill_dirs2, pallas_scores2,
+    )
 
     interp = jax.default_backend() == "cpu"  # CI smoke: interpret mode
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
@@ -105,12 +107,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                 xs.append(dp.compact_inputs(sc, aseq, bseq)[0])
         return jax.block_until_ready(jnp.asarray(np.stack(xs)))
 
-    v2 = None
-    if kind == "scores":
-        # mirror aligners._scores_auto: eligible configs dispatch to the
-        # round-3 chained kernel (pallas_dp2)
-        v2 = _v2_scores_eligible(sc, inline, None if inline else subK,
-                                 L, L)
+    # mirror the aligners dispatch: eligible configs ride the round-3
+    # chained kernel (pallas_dp2) for both scores and dirs
+    v2 = _v2_scores_eligible(sc, inline, None if inline else subK, L, L)
 
     def make_many(V):
         @jax.jit
@@ -136,6 +135,20 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                         unroll=8,  # matches aligners._scores_auto
                     )
                     acc = s.sum()
+                elif v2 is not None:
+                    d, m, corner = pallas_fill_dirs2(
+                        aa, bc, na, nb, go, ge, is_sw=is_sw,
+                        emit_m=is_sw, match=np.int32(sc.match),
+                        mismatch=np.int32(sc.mismatch),
+                        subK=None if inline else subK,
+                        interpret=interp, nsg=sc.no_start_gap_penalty,
+                        lut_np=v2, unroll=16 if L >= 512 else 8,
+                    )
+                    acc = d[0, 0].astype(jnp.int32).sum()
+                    if m is not None:
+                        acc = acc + m[0, 0].sum()
+                    if corner is not None:
+                        acc = acc + corner.sum()
                 else:
                     d, m, corner = pallas_fill_dirs(
                         aa, bc, na, nb, subK, go, ge, mn, is_sw=is_sw,

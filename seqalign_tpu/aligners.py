@@ -368,6 +368,17 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         lim = 8192 if inline else 4096
     if lb > lim:
         return None
+    # round-3 chained kernel first (2x the v1 dirs throughput, measured
+    # 70.4 vs 35.0 GCUPS NW / 55.3 vs 35.1 SW at B>=128 L=512); the v1
+    # kernel remains for the modes/widths it doesn't cover
+    v2 = _v2_scores_eligible(sc, inline, None if inline else subK, la, lb)
+    if v2 is not None and lb <= 2048:
+        fast = _pallas_dirs_fill2(sc, seqs_a, seqs_b, ac, bc, na, nb,
+                                  is_sw=is_sw, mins=mins, la=la, lb=lb,
+                                  lut_np=v2,
+                                  subK=None if inline else subK)
+        if fast is not None:
+            return fast
     bs = _pallas_dirs_bs(len(seqs_a), lb, lut_k=lut)
     try:
         dirs, m, corner = pallas_fill_dirs(
@@ -410,6 +421,57 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                                      geo["D"], ilv=geo["ILV"])
     else:
         m_part = None
+
+    return planes, m_part, corner_np, na, nb, geo
+
+
+def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
+                       *, is_sw: bool, mins, la: int, lb: int,
+                       lut_np: int, subK):
+    """v2 (chained) dirs dispatch: returns the `_pallas_dirs_fill`
+    contract (planes accessor, m_part, corner, na, nb, geo) or None to
+    fall through to the v1 kernel."""
+    import jax.numpy as jnp
+
+    from .ops import dp
+    from .ops.pallas_dp2 import (
+        chain_geometry, pallas_fill_dirs2, pair_planes_device2,
+        unpack_pair_plane2,
+    )
+
+    unroll = _pallas_unroll(16 if lb >= 512 else 8)
+    geo = chain_geometry(len(seqs_a), la, lb, K=unroll, state_bytes=140)
+    try:
+        dirs, mdev, corner = pallas_fill_dirs2(
+            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+            jnp.asarray(nb), np.int32(sc.gap_open),
+            np.int32(sc.gap_extend), is_sw=is_sw, emit_m=is_sw,
+            match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
+            subK=None if subK is None else jnp.asarray(subK),
+            interpret=_pallas_mode() == "interpret", unroll=unroll,
+            nsg=sc.no_start_gap_penalty, lut_np=lut_np,
+        )
+        dirs_np = np.asarray(dirs)
+        corner_np = np.asarray(corner) if corner is not None else None
+
+        if is_sw and mins is not None:
+            mplanes = pair_planes_device2(mdev, geo, la, lb,
+                                          len(seqs_a))
+            m_part = dp.sw_extract_candidates(
+                mplanes, na, nb, np.asarray(mins, np.int32))
+        elif mdev is not None:
+            m_np = np.asarray(mdev)
+
+            def m_part(j, _arr=m_np):
+                return unpack_pair_plane2(_arr, j, geo, la, lb)
+        else:
+            m_part = None
+    except Exception:
+        _pallas_failed("dirs2")
+        return None
+
+    def planes(j, _arr=dirs_np):
+        return unpack_pair_plane2(_arr, j, geo, la, lb)
 
     return planes, m_part, corner_np, na, nb, geo
 

@@ -94,7 +94,7 @@ def lut2_eligible(sc, subK) -> int:
     return lut2_planes(int(subK.shape[0]))
 
 
-def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0):
+def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0, state_bytes=60):
     """Lane/chain geometry: P = lane-packed pairs per row (interleaved),
     C pairs chained along a per slot, BS sublanes per grid row-chunk.
     ``chain``/``bs`` 0 = auto.  W >= LBt is required so at most one
@@ -113,8 +113,9 @@ def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0):
     C = chain
     if bs <= 0:
         need = -(-B // (P * C))
-        # VMEM residency: ~11 state planes + in/out blocks per sublane
-        cap = max(8, (8 << 20) // (LN * 60))
+        # VMEM residency: state planes + in/out blocks per sublane-lane
+        # (scores ~60 B, dirs ~140 B with its 9+ planes and K-deep outs)
+        cap = max(8, (8 << 20) // (LN * state_bytes))
         while cap & (cap - 1):
             cap &= cap - 1
         bs = 8
@@ -152,7 +153,7 @@ def _lut_tree(plv, avv, lut_np):
 
 def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
              cf32):
-    """Grid (nB, DK); diagonals d = t*K + 2 .. t*K + K + 1 per step t.
+    """Grid (nB, DK); diagonals d = t*K + 1 .. t*K + K per step t.
 
     Scratch state (all (BS, LN)): SG1 = sh(G(d-1)), SG2 = sh(G(d-2)),
     SE = sh(E'(d-1)), G_u/F_u unshifted, acc0/acc1 (NW: parity capture
@@ -570,3 +571,424 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
     INT_MIN32 = jnp.float32(np.iinfo(np.int32).min)
     vals = jnp.where(jnp.isinf(vals), INT_MIN32, vals)
     return vals[:B].astype(jnp.int32)
+
+
+def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
+                  lut_np, cf32):
+    """Chained direction-code fill: three-matrix recurrence in drifted
+    space emitting v1-compatible packed 2-bit codes per diagonal (and the
+    undrifted M matrix for SW candidates).  Same chunk/transition/capture
+    machinery as :func:`_kernel2`; the code equalities are drift-invariant
+    because both sides of every ``pred + penalty == value`` test carry the
+    same -ge*d term (alignment.c:311-327 tie procedure, GAP_A > GAP_B >
+    MATCH priority)."""
+    lut = lut_np > 0
+    if is_sw:
+        (aw_ref, bl_ref, scal_ref, dirs_ref, m_ref,
+         s_m, s_ga, s_gb, h_m, h_ga, h_gb, g_m, g_ga, g_gb,
+         av, bls) = refs
+    else:
+        (aw_ref, bl_ref, cd_ref, capg_ref, scal_ref,
+         dirs_ref, m_ref, corn_ref,
+         s_m, s_ga, s_gb, h_m, h_ga, h_gb, g_m, g_ga, g_gb,
+         av, bls, cdv, cp0, cp1, cp2, cp3, cp4, cp5) = refs
+    f32 = jnp.float32
+    i32 = jnp.int32
+    cdt = i32 if (lut_np > 0 or not cf32) else f32
+    ib = pl.program_id(0)
+    t = pl.program_id(1)
+    d0 = t * K + 1
+    c = t // m
+    lt = t - c * m
+    cW = c * W
+    go = scal_ref[0]
+    ge = scal_ref[1]
+    MT = scal_ref[2]  # match - 2*ge (eq) / -2*ge (lut bias): no G-fold
+    MM = scal_ref[3]
+    LN = P * LBt
+    SH = P
+    lane = jax.lax.broadcasted_iota(i32, (BS, LN), 1)
+    y0 = lane // P if P > 1 else lane
+    y0c = y0.astype(f32) if cf32 else y0
+    bstart = y0 == 0
+
+    def shift(v, fillv):
+        return jnp.concatenate(
+            [jnp.full((BS, SH), fillv, v.dtype), v[:, : LN - SH]], axis=1)
+
+    def sdrift(d):
+        return -ge * jnp.asarray(d, i32).astype(f32)
+
+    @pl.when(t == 0)
+    def _init():
+        # entering diagonal 1: only the (0,0) corner exists — all three
+        # matrices 0 there (both modes), entering as the SH(d-1) lane-0
+        # fill; everything else arrives via the chunk-0 injections
+        ninf = jnp.full((BS, LN), NEG, f32)
+        z0 = jnp.where(bstart, jnp.zeros((), f32), NEG)
+        av[...] = jnp.full((BS, LN), PADA, cdt)
+        bls[...] = bl_ref[0, 0]
+        s_m[...] = ninf
+        s_ga[...] = ninf
+        s_gb[...] = ninf
+        h_m[...] = z0
+        h_ga[...] = z0
+        h_gb[...] = z0
+        g_m[...] = ninf
+        g_ga[...] = ninf
+        g_gb[...] = ninf
+        if not is_sw:
+            cdv[...] = cd_ref[0, 0]
+            for r in (cp0, cp1, cp2, cp3, cp4, cp5):
+                r[...] = ninf
+
+    def pick(ga_ok, gb_ok, m_ok):
+        # enum Matrix: MATCH=0, GAP_A=1, GAP_B=2; 3 = traceback-fail
+        return jnp.where(
+            ga_ok, 1, jnp.where(gb_ok, 2, jnp.where(m_ok, 0, 3))
+        ).astype(jnp.int32)
+
+    def sweep(trans: bool, cap: bool):
+        pm1, pga1, pgb1 = s_m[...], s_ga[...], s_gb[...]
+        m1s, ga1s, gb1s = h_m[...], h_ga[...], h_gb[...]
+        m2s, ga2s, gb2s = g_m[...], g_ga[...], g_gb[...]
+        avv = av[...]
+        win = aw_ref[0, 0]
+        blvv = bls[...]
+        if trans:
+            bin_ = bl_ref[0, 0]
+        if cap or (trans and not is_sw):
+            cdvv = cdv[...]
+            if trans:
+                cdin = cd_ref[0, 0]
+        if cap:
+            c0m, c1m = cp0[...], cp1[...]
+            c0a, c1a = cp2[...], cp3[...]
+            c0b, c1b = cp4[...], cp5[...]
+        for k in range(K):
+            d = d0 + k
+            if lut:
+                ss = _lut_tree(blvv, avv, lut_np).astype(f32) + MT
+                if is_sw:
+                    ss = jnp.where(avv >= PADA, jnp.asarray(POISON, f32),
+                                   ss)
+            else:
+                ss = jnp.where(avv == blvv, MT, MM)
+                if is_sw:
+                    ss = jnp.where(avv + blvv >= PADA,
+                                   jnp.asarray(POISON, f32), ss)
+            amax = jnp.maximum(jnp.maximum(m2s, ga2s), gb2s)
+            m_arg = amax + ss
+            if is_sw:
+                sd = sdrift(d)
+                Mv = jnp.maximum(m_arg, sd)
+            else:
+                Mv = m_arg
+            s1 = m1s + go
+            s2 = ga1s
+            s3 = gb1s + go
+            ga_v = jnp.maximum(jnp.maximum(s1, s2), s3)
+            t1 = pm1 + go
+            t2 = pga1 + go
+            t3 = pgb1
+            gb_v = jnp.maximum(jnp.maximum(t1, t2), t3)
+            if is_sw:
+                ga_v = jnp.maximum(ga_v, sd)
+                gb_v = jnp.maximum(gb_v, sd)
+            # direction codes — drift-invariant equalities on the same
+            # values the fill just computed (pallas_dp._dirs_kernel
+            # semantics, alignment.c:244-350)
+            dm = pick(ga2s == amax, gb2s == amax, m2s == amax)
+            if is_sw:
+                dm = jnp.where(m_arg == Mv, dm, 3)
+            dga = pick(s2 == ga_v, s3 == ga_v, s1 == ga_v)
+            dgb = pick(t2 == gb_v, t3 == gb_v, t1 == gb_v)
+            dirs_ref[0, 0, k] = (dm | (dga << 2) | (dgb << 4)).astype(
+                jnp.uint8)
+            if emit_m:
+                # undrift in-kernel: consumers (sw_extract_candidates,
+                # ChunkedM) see reference M values
+                m_ref[0, 0, k] = (Mv + ge * jnp.asarray(d, i32)
+                                  .astype(f32)).astype(jnp.int32)
+            if trans:
+                att_s = jnp.asarray(d - 1 - cW, i32)
+                at_t = y0c == (att_s.astype(f32) if cf32 else att_s)
+                if is_sw:
+                    sd = sdrift(d)
+                    mv_sel = ga_sel = gb_sel = sd
+                elif nsg:
+                    mv_sel = gb_sel = NEG
+                    ga_sel = sdrift(d)
+                else:
+                    mv_sel = gb_sel = NEG
+                    ga_sel = go - ge * jnp.float32(cW)
+                Mv = jnp.where(at_t, mv_sel, Mv)
+                ga_v = jnp.where(at_t, ga_sel, ga_v)
+                gb_v = jnp.where(at_t, gb_sel, gb_v)
+                if lut:
+                    blvv = jnp.where(at_t[None], bin_, blvv)
+                else:
+                    blvv = jnp.where(at_t, bin_, blvv)
+                if not is_sw:
+                    cdvv = jnp.where(at_t, cdin, cdvv)
+            if cap:
+                df = jnp.asarray(d, i32)
+                if cf32:
+                    df = df.astype(f32)
+                hit0 = cdvv == df
+                hit1 = cdvv == -df
+                c0m = jnp.where(hit0, Mv, c0m)
+                c0a = jnp.where(hit0, ga_v, c0a)
+                c0b = jnp.where(hit0, gb_v, c0b)
+                c1m = jnp.where(hit1, Mv, c1m)
+                c1a = jnp.where(hit1, ga_v, c1a)
+                c1b = jnp.where(hit1, gb_v, c1b)
+            # shift fills: lane 0 enters cell (0, x=d) of chunk x // W —
+            # M/Ga = -inf, Gb = the row-0 gap run, except pair corners
+            # (x' = 0) where all three are 0 (drifted -ge*d)
+            if is_sw:
+                sdf = sdrift(d)
+                fm = fga = fgb = sdf
+            else:
+                cx = jnp.asarray(d, i32) // W
+                iscorn = jnp.asarray(d, i32) == cx * W
+                sdf = sdrift(d)
+                fm = jnp.where(iscorn, sdf, NEG)
+                fga = fm
+                if nsg:
+                    fgb = sdf
+                else:
+                    fgb = jnp.where(iscorn, sdf,
+                                    go - ge * (cx * W).astype(f32))
+            m2s, ga2s, gb2s = m1s, ga1s, gb1s
+            m1s = shift(Mv, fm)
+            ga1s = shift(ga_v, fga)
+            gb1s = shift(gb_v, fgb)
+            pm1, pga1, pgb1 = Mv, ga_v, gb_v
+            avv = jnp.concatenate(
+                [win[:, (k + 1) * SH: (k + 2) * SH], avv[:, : LN - SH]],
+                axis=1)
+        s_m[...], s_ga[...], s_gb[...] = pm1, pga1, pgb1
+        h_m[...], h_ga[...], h_gb[...] = m1s, ga1s, gb1s
+        g_m[...], g_ga[...], g_gb[...] = m2s, ga2s, gb2s
+        av[...] = avv
+        bls[...] = blvv
+        if trans and not is_sw:
+            cdv[...] = cdvv
+        if cap:
+            cp0[...], cp1[...] = c0m, c1m
+            cp2[...], cp3[...] = c0a, c1a
+            cp4[...], cp5[...] = c0b, c1b
+
+    in_band = (lt <= bb) & (c < C)
+    if is_sw:
+        @pl.when(in_band)
+        def _tr():
+            sweep(True, False)
+
+        @pl.when(jnp.logical_not(in_band))
+        def _no():
+            sweep(False, False)
+    else:
+        capb = capg_ref[ib, t] != 0
+
+        @pl.when(in_band & capb)
+        def _tc():
+            sweep(True, True)
+
+        @pl.when(in_band & jnp.logical_not(capb))
+        def _t():
+            sweep(True, False)
+
+        @pl.when(jnp.logical_not(in_band) & capb)
+        def _c():
+            sweep(False, True)
+
+        @pl.when(jnp.logical_not(in_band) & jnp.logical_not(capb))
+        def _n():
+            sweep(False, False)
+
+        @pl.when((lt == m - 1) | (t == pl.num_programs(1) - 1))
+        def _flush():
+            corn_ref[0, 0, 0] = cp0[...]
+            corn_ref[0, 0, 1] = cp1[...]
+            corn_ref[0, 0, 2] = cp2[...]
+            corn_ref[0, 0, 3] = cp3[...]
+            corn_ref[0, 0, 4] = cp4[...]
+            corn_ref[0, 0, 5] = cp5[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
+                     "chain", "nsg", "lut_np", "codes_f32"),
+)
+def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
+                      is_sw: bool, emit_m: bool, match=None,
+                      mismatch=None, subK=None,
+                      interpret: bool = False, unroll: int = 8,
+                      bs: int = 0, chain: int = 0, nsg: bool = False,
+                      lut_np: int = 0, codes_f32=None):
+    """Chained batched full fill with packed direction codes (v2).
+
+    Same input contract as :func:`pallas_scores2`.  Returns
+    ``(dirs, m, corner)``: dirs (nB, DK*K, BS, LN) uint8 global-diagonal
+    planes (plane g holds diagonal g+1; per-pair extraction via
+    :func:`unpack_pair_plane2`); m same layout int32 (UNDRIFTED reference
+    M values, SW with ``emit_m``) or None; corner (B, 3) int32 M/Ga/Gb at
+    each pair's (nb, na) (NW) or None."""
+    B, LA = ac.shape
+    _, LBt = bc.shape
+    geo = chain_geometry(B, LA, LBt, K=unroll, chain=chain, bs=bs,
+                         state_bytes=140)
+    P, C, BS, nB, W, K, DK, SLOTS = (
+        geo["P"], geo["C"], geo["BS"], geo["nB"], geo["W"], geo["K"],
+        geo["DK"], geo["SLOTS"])
+    LN = P * LBt
+    m = geo["m"]
+    if codes_f32 is None:
+        codes_f32 = False
+    st = _stage2(ac, bc, na, nb, geo, is_sw=is_sw, subK=subK,
+                 lut_np=lut_np, cf32=codes_f32)
+    f32 = jnp.float32
+    go = jnp.asarray(gap_open, f32)
+    ge = jnp.asarray(gap_extend, f32)
+    if lut_np > 0:
+        MT = -2.0 * ge
+        MM = jnp.zeros((), f32)
+    else:
+        MT = jnp.asarray(match, f32) - 2.0 * ge
+        MM = jnp.asarray(mismatch, f32) - 2.0 * ge
+    scal = jnp.stack([go, ge, MT, MM])
+
+    kernel = functools.partial(
+        _dirs_kernel2, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P,
+        K=K, W=W, m=m, bb=geo["bb"], C=C, nsg=nsg, lut_np=lut_np,
+        cf32=codes_f32)
+    if lut_np > 0:
+        bl_spec = pl.BlockSpec(
+            (1, 1, lut_np, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0, 0))
+        bl_scratch = pltpu.VMEM((lut_np, BS, LN), jnp.int32)
+    else:
+        bl_spec = pl.BlockSpec(
+            (1, 1, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0))
+        bl_scratch = pltpu.VMEM(
+            (BS, LN), jnp.float32 if codes_f32 else jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, 1, BS, (K + 1) * P), lambda i, t: (i, t, 0, 0)),
+        bl_spec,
+    ]
+    args = [st["aw"], st["bl"]]
+    if not is_sw:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, BS, LN),
+            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args += [st["cd"], st["capg"]]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args.append(scal)
+
+    mshape = (nB, DK, K, BS, LN) if emit_m else (1, 1, 1, 8, 128)
+    mmap = ((lambda i, t: (i, t, 0, 0, 0)) if emit_m
+            else (lambda i, t: (0, 0, 0, 0, 0)))
+    out_specs = [
+        pl.BlockSpec((1, 1, K, BS, LN), lambda i, t: (i, t, 0, 0, 0)),
+        pl.BlockSpec((1, 1, 1 if not emit_m else K, 8 if not emit_m
+                      else BS, 128 if not emit_m else LN), mmap),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nB, DK, K, BS, LN), jnp.uint8),
+        jax.ShapeDtypeStruct(mshape, jnp.int32),
+    ]
+    avdt = jnp.int32 if (lut_np > 0 or not codes_f32) else jnp.float32
+    mdt = jnp.float32 if codes_f32 else jnp.int32
+    scratch = [pltpu.VMEM((BS, LN), f32)] * 9 \
+        + [pltpu.VMEM((BS, LN), avdt), bl_scratch]
+    if not is_sw:
+        slot_map = (lambda i, t:
+                    (i, jnp.minimum(t // m, SLOTS - 1), 0, 0, 0))
+        out_specs.append(pl.BlockSpec((1, 1, 6, BS, LN), slot_map))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nB, SLOTS, 6, BS, LN), f32))
+        scratch += [pltpu.VMEM((BS, LN), mdt)] \
+            + [pltpu.VMEM((BS, LN), f32)] * 6
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nB, DK),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    if is_sw:
+        dirs, mm_ = outs
+        corner = None
+    else:
+        dirs, mm_, corn = outs
+        Bp = st["Bp"]
+        naj, nbj = st["na"], st["nb"]
+        cidx = jnp.arange(Bp, dtype=jnp.int32) % C
+        rows = jnp.arange(Bp, dtype=jnp.int32) // C
+        cdiag = cidx * W + naj + nbj
+        pcorn = corn.reshape(nB, SLOTS, 6, BS, LBt, P)
+        pcorn = pcorn.transpose(0, 3, 5, 1, 2, 4).reshape(
+            Bp // C, SLOTS, 6, LBt)
+
+        def per_pair(r, cc, nbv, cdv):
+            sl = jnp.minimum(cc + 1, SLOTS - 1)
+            q = cc & 1
+            vals = jnp.stack([
+                pcorn[r, sl, 0 + q, nbv - 1],
+                pcorn[r, sl, 2 + q, nbv - 1],
+                pcorn[r, sl, 4 + q, nbv - 1],
+            ])
+            return vals + ge * cdv.astype(f32)
+
+        vals = jax.vmap(per_pair)(rows, cidx, nbj, cdiag)
+        INT_MIN32 = jnp.float32(np.iinfo(np.int32).min)
+        vals = jnp.where(jnp.isinf(vals), INT_MIN32, vals)
+        corner = vals[:B].astype(jnp.int32)
+    dirs = dirs.reshape(nB, DK * K, BS, LN)
+    m_out = mm_.reshape(nB, DK * K, BS, LN) if emit_m else None
+    return dirs, m_out, corner
+
+
+def unpack_pair_plane2(planes: np.ndarray, j: int, geo: dict,
+                       LA: int, LBt: int) -> np.ndarray:
+    """Extract pair ``j``'s skewed (D, LBt+1) plane (row = x + y - 2,
+    col = y, dummy col 0 — the ``ops.traceback`` contract) from a chained
+    v2 kernel output (nB, DKK, BS, LN): pair (i, s, p, c)'s diagonal d
+    lives in global plane d - 1, rows c*W + 1 ... c*W + D."""
+    BS, P, C, W = geo["BS"], geo["P"], geo["C"], geo["W"]
+    D = LA + LBt - 1
+    i, r = divmod(j, BS * P * C)
+    sp, c = divmod(r, C)
+    s, p = divmod(sp, P)
+    rows = planes[i, c * W + 1: c * W + 1 + D, s]
+    sl = rows[:, p::P] if P > 1 else rows
+    out = np.empty((D, LBt + 1), dtype=planes.dtype)
+    out[:, 1:] = sl
+    out[:, 0] = 0
+    return out
+
+
+def pair_planes_device2(planes, geo: dict, LA: int, LBt: int, B: int):
+    """Device-side batch unpack of a chained v2 output to per-pair skewed
+    (B, D, LBt+1) planes (pair order (i, s, p, c)), for
+    ``dp.sw_extract_candidates`` — stays on device, M never fetched."""
+    BS, P, C, W, nB = (geo["BS"], geo["P"], geo["C"], geo["W"], geo["nB"])
+    D = LA + LBt - 1
+    per_c = []
+    for c in range(C):
+        x = planes[:, c * W + 1: c * W + 1 + D]  # (nB, D, BS, LN)
+        x = x.reshape(nB, D, BS, LBt, P) if P > 1 else x[..., None]
+        per_c.append(x)
+    x = jnp.stack(per_c, axis=2)  # (nB, D, C?, ...) — wait axis order
+    # (nB, D, C, BS, LBt, P) -> (nB, BS, P, C, D, LBt)
+    x = x.transpose(0, 3, 5, 2, 1, 4)
+    x = x.reshape(nB * BS * P * C, D, LBt)
+    return jnp.pad(x[:B], ((0, 0), (0, 0), (1, 0)))

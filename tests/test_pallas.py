@@ -1002,6 +1002,7 @@ def test_aligner_pallas_dirs_lut_wiring(monkeypatch, cfg):
     dirs kernel's LUT mode and reproduce the host path exactly —
     alignments, SW hit streams, and NW corners."""
     import seqalign_tpu.ops.pallas_dp as pdp
+    import seqalign_tpu.ops.pallas_dp2 as pdp2
     from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
 
     sc, alpha = _lut_cfgs()[cfg]
@@ -1021,12 +1022,20 @@ def test_aligner_pallas_dirs_lut_wiring(monkeypatch, cfg):
     monkeypatch.setenv("SEQALIGN_PALLAS_FLOOR", "16")
     seen = []
     orig = pdp.pallas_fill_dirs
+    orig2 = pdp2.pallas_fill_dirs2
 
     def spy(*a, **k):
         seen.append(k.get("lut_k", 0))
         return orig(*a, **k)
 
+    def spy2(*a, **k):
+        # the round-3 chained kernel owns eligible matrix configs —
+        # same in-kernel LUT-scoring contract (packed planes)
+        seen.append(k.get("lut_np", 0))
+        return orig2(*a, **k)
+
     monkeypatch.setattr(pdp, "pallas_fill_dirs", spy)
+    monkeypatch.setattr(pdp2, "pallas_fill_dirs2", spy2)
     got_nw = NeedlemanWunsch(sc).align_batch(seqs_a, seqs_b)
     got_sw = [list(h) for h in SmithWaterman(sc).align_batch(seqs_a,
                                                              seqs_b)]

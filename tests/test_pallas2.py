@@ -125,3 +125,84 @@ def test_v2_via_aligners_dispatch(monkeypatch):
     monkeypatch.setenv("SEQALIGN_V2", "off")
     want = nw.score_batch(seqs[:12], seqs[12:])
     np.testing.assert_array_equal(got, want)
+
+
+DIRS_CASES = [
+    ("d_nw_c3", scoring_system_default, False, False, DNA, 9, 40, 40, 3),
+    ("d_sw_c3", scoring_system_sw_default, True, False, DNA, 9, 40, 40, 3),
+    ("d_nw_ilv", scoring_system_default, False, False, DNA, 16, 24, 24, 2),
+    ("d_sw_ilv", scoring_system_sw_default, True, False, DNA, 16, 24, 24,
+     2),
+    ("d_nw_blosum", scoring_system_BLOSUM62, False, True, PROT, 6, 40, 40,
+     3),
+    ("d_sw_blosum", scoring_system_BLOSUM62, True, True, PROT, 6, 40, 40,
+     3),
+    ("d_nw_nsg", lambda: ScoringConfig(1, -2, -4, -1,
+                                       no_start_gap_penalty=True),
+     False, False, DNA, 8, 40, 40, 3),
+]
+
+
+@pytest.mark.parametrize("case", DIRS_CASES, ids=[c[0] for c in DIRS_CASES])
+def test_v2_dirs_end_to_end(case):
+    """Chained dirs kernel: NW traceback strings and SW hit streams must
+    reproduce the host path exactly (codes, corners, M planes)."""
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.ops.pallas_dp2 import (
+        pallas_fill_dirs2, pair_planes_device2, unpack_pair_plane2,
+    )
+    from seqalign_tpu.ops.traceback import SwHitIterator, nw_traceback
+
+    name, scf, is_sw, lut, alpha, B, LA, LB, chain = case
+    sc = scf()
+    lutarr = np.frombuffer(alpha, dtype=np.uint8)
+    rng = np.random.default_rng(abs(hash(name)) % (2**31))
+    seqs_a, seqs_b = [], []
+    for _ in range(B):
+        la = int(rng.integers(1, LA + 1))
+        lb = int(rng.integers(1, LB + 1))
+        seqs_a.append(
+            bytes(lutarr[rng.integers(0, len(lutarr), la)]).decode())
+        seqs_b.append(
+            bytes(lutarr[rng.integers(0, len(lutarr), lb)]).decode())
+    a, na = dp.pad_batch(seqs_a, pad_to=LA)
+    b, nb = dp.pad_batch(seqs_b, pad_to=LB)
+    if lut:
+        ac, bc, subK, _ = dp.compact_inputs(sc, a, b)
+        lut_np = lut2_eligible(sc, subK)
+        assert lut_np > 0
+        match = mismatch = None
+        subj = jnp.asarray(subK)
+    else:
+        ac, bc = dp.compact_inputs_mm(sc, a, b)
+        lut_np = 0
+        match, mismatch = np.int32(sc.match), np.int32(sc.mismatch)
+        subj = None
+    geo = chain_geometry(B, LA, LB, chain=chain, bs=8, state_bytes=140)
+    dirs, mdev, corner = pallas_fill_dirs2(
+        jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+        jnp.asarray(nb), np.int32(sc.gap_open), np.int32(sc.gap_extend),
+        is_sw=is_sw, emit_m=is_sw, match=match, mismatch=mismatch,
+        subK=subj, interpret=True, chain=chain, bs=8,
+        nsg=sc.no_start_gap_penalty, lut_np=lut_np)
+    dirs_np = np.asarray(dirs)
+    if is_sw:
+        mnp = np.asarray(pair_planes_device2(mdev, geo, LA, LB, B))
+        for j in range(B):
+            pl2 = unpack_pair_plane2(dirs_np, j, geo, LA, LB)
+            got = [(h.result_a, h.result_b, h.score, h.pos_a, h.pos_b)
+                   for h in SwHitIterator(sc, seqs_a[j], seqs_b[j],
+                                          int(na[j]), int(nb[j]), pl2,
+                                          mnp[j])]
+            want = [(h.result_a, h.result_b, h.score, h.pos_a, h.pos_b)
+                    for h in host_dp.HostSwHits(sc, seqs_a[j], seqs_b[j])]
+            assert got == want, (name, j)
+    else:
+        cn = np.asarray(corner)
+        for j in range(B):
+            pl2 = unpack_pair_plane2(dirs_np, j, geo, LA, LB)
+            aln = nw_traceback(seqs_a[j], seqs_b[j], int(na[j]),
+                               int(nb[j]), pl2, cn[j])
+            want = host_dp.nw_align(sc, seqs_a[j], seqs_b[j])
+            assert (aln.result_a, aln.result_b, aln.score) == (
+                want.result_a, want.result_b, want.score), (name, j)
