@@ -48,6 +48,21 @@ LONG_PAIR_CELLS = 64_000_000
 # kernels never read them; a fixed shape keeps one jit cache entry)
 _DUMMY_TABLE = np.zeros((8, 8), np.int32)
 
+# Pallas-dispatch accounting: incremented AFTER each successful kernel
+# call so validation harnesses (tools/tpu_validate.py) can prove a
+# scenario actually exercised a Mosaic-compiled kernel instead of
+# silently comparing XLA against XLA (ADVICE round 2, medium).
+_PALLAS_DISPATCHES: dict = {}
+
+
+def _note_dispatch(what: str) -> None:
+    _PALLAS_DISPATCHES[what] = _PALLAS_DISPATCHES.get(what, 0) + 1
+
+
+def pallas_dispatch_counts() -> dict:
+    """Snapshot of successful Pallas kernel dispatches by kind."""
+    return dict(_PALLAS_DISPATCHES)
+
 
 def _route(total_cells: int, n_pairs: int,
            sc: Optional[ScoringConfig] = None) -> str:
@@ -190,7 +205,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                     interpret=_pallas_mode() == "interpret",
                     nsg=sc.no_start_gap_penalty, lut_np=v2,
                 )
-                return np.asarray(out)
+                out = np.asarray(out)
+                _note_dispatch("scores2")
+                return out
             except Exception:
                 _pallas_failed("scores2")
         try:
@@ -214,7 +231,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                 # reproduce after the staging rework)
                 unroll=_pallas_unroll(8),
             )
-            return np.asarray(out)
+            out = np.asarray(out)
+            _note_dispatch("scores")
+            return out
         except Exception:
             _pallas_failed("scores")
     out, _, _ = dp.fill_batch(
@@ -397,6 +416,7 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         )
         geo = pack_geometry(la, lb, bs=bs, inline=inline or lut > 0)
         dirs_np = np.asarray(dirs)
+        _note_dispatch("dirs")
     except Exception:
         _pallas_failed("dirs")
         return None
@@ -452,6 +472,7 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
             nsg=sc.no_start_gap_penalty, lut_np=lut_np,
         )
         dirs_np = np.asarray(dirs)
+        _note_dispatch("dirs2")
         corner_np = np.asarray(corner) if corner is not None else None
 
         if is_sw and mins is not None:
@@ -529,6 +550,7 @@ def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
             bs=_pallas_dirs_bs(len(seqs_a), lb, lut_k=lut),
             extract_min=mins, subK=subK, lut_k=lut,
         )
+        _note_dispatch("chunked")
     except Exception:
         _pallas_failed("chunked")  # interpret mode re-raises here
         # memoize: a per-pair fallback (align_long) would otherwise retry

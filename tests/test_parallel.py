@@ -71,3 +71,32 @@ def test_sharded_align_batch_traceback_matches_host():
                                                   mesh=mesh)]
     want_h = [list(host_dp.HostSwHits(sw, a, b)) for a, b in pairs]
     assert got_h == want_h
+
+
+def test_sharded_fill_rides_v2_kernel():
+    """The sharded align path must dispatch the chained Pallas kernel per
+    shard (VERDICT round-2 weak item 5: the sharded fill previously rode
+    the ~10x-slower XLA scan) and stay bit-identical to host."""
+    import numpy as np
+
+    from seqalign_tpu import aligners
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.parallel.engine import make_mesh, sharded_align_batch
+    from seqalign_tpu.scoring.presets import scoring_system_default
+
+    rng = np.random.default_rng(9)
+    lut = np.frombuffer(b"acgt", dtype=np.uint8)
+    seqs_a = [bytes(lut[rng.integers(0, 4, rng.integers(1, 120))]).decode()
+              for _ in range(11)]
+    seqs_b = [bytes(lut[rng.integers(0, 4, rng.integers(1, 90))]).decode()
+              for _ in range(11)]
+    sc = scoring_system_default()
+    before = aligners.pallas_dispatch_counts().get("dirs2_sharded", 0)
+    res = sharded_align_batch(sc, seqs_a, seqs_b, is_sw=False,
+                              mesh=make_mesh())
+    after = aligners.pallas_dispatch_counts().get("dirs2_sharded", 0)
+    assert after > before, "sharded fill did not ride the v2 kernel"
+    for j in range(len(seqs_a)):
+        w = host_dp.nw_align(sc, seqs_a[j], seqs_b[j])
+        assert (res[j].result_a, res[j].result_b, res[j].score) == (
+            w.result_a, w.result_b, w.score)

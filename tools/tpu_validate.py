@@ -29,6 +29,7 @@ import logging
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -36,12 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class _FallbackHook(logging.Handler):
+    """Captures ONLY the aligners fallback warnings ('Pallas %s path
+    failed...') — any unrelated warning on the logger must not
+    misclassify a scenario (ADVICE round 2)."""
+
     def __init__(self):
         super().__init__(level=logging.WARNING)
         self.events = []
 
     def emit(self, record):
-        self.events.append(record.getMessage())
+        msg = record.getMessage()
+        if msg.startswith("Pallas "):
+            self.events.append(msg)
+
+
+def _seed(label: str) -> int:
+    # deterministic across processes (str hash is salted per process)
+    return zlib.crc32(label.encode())
 
 
 def _ragged(rng, alpha, n, lo, hi):
@@ -129,14 +141,20 @@ def main():
             ("sw_wide_L1500", scoring_system_sw_default, dna, True,
              (1200, 1500), 3),
             ("nw_wide_lut_L1800", nwq, dnan, False, (1600, 1800), 4),
+            ("nw_wide_L3900", scoring_system_default, dna, False,
+             (3700, 3900), 2),
         ]
 
     results = []
     fails = 0
     os.environ["SEQALIGN_FORCE"] = "device"
     for label, mk, alpha, is_sw, (lo, hi), B in scenarios:
-        rng = np.random.default_rng(abs(hash(label)) % 2**31)
+        rng = np.random.default_rng(_seed(label))
         sc = mk()
+        # the device pin below must actually hold: the wrap-risk regime
+        # reroutes to host BEFORE SEQALIGN_FORCE (aligners._route), which
+        # would silently compare host against host (ADVICE round 2)
+        assert not sc.sentinel_wrap_risk(), label
         sa = _ragged(rng, alpha, B, lo, hi)
         sb = _ragged(rng, alpha, B, lo, hi)
         t0 = time.perf_counter()
@@ -144,19 +162,22 @@ def main():
         try:
             os.environ.pop("SEQALIGN_PALLAS", None)
             n_ev = len(hook.events)
+            n_disp = sum(aligners.pallas_dispatch_counts().values())
             if is_sw:
                 al = SmithWaterman(sc)
-                got_s = al.score_batch(sa, sb)
+                got_s = al.best_score_batch(sa, sb)
                 got = _sw_tuples(al.align_batch(list(sa), list(sb)))
             else:
                 al = NeedlemanWunsch(sc)
                 got_s = al.score_batch(sa, sb)
                 got = _nw_tuples(al.align_batch(sa, sb))
             fell_back = hook.events[n_ev:]
+            new_disp = (sum(aligners.pallas_dispatch_counts().values())
+                        - n_disp)
 
             os.environ["SEQALIGN_PALLAS"] = "off"
             if is_sw:
-                want_s = al.score_batch(sa, sb)
+                want_s = al.best_score_batch(sa, sb)
                 want = _sw_tuples(al.align_batch(list(sa), list(sb)))
             else:
                 want_s = al.score_batch(sa, sb)
@@ -164,6 +185,12 @@ def main():
 
             if fell_back:
                 status, detail = "FALLBACK", "; ".join(fell_back)[:160]
+            elif new_disp == 0:
+                # an OK without any kernel dispatch would self-certify
+                # XLA against XLA (eligibility gates silently returning
+                # None) — surface it as a failure
+                status, detail = "NOPALLAS", \
+                    "no Pallas kernel dispatched (gates routed to XLA)"
             elif not np.array_equal(np.asarray(got_s), np.asarray(want_s)):
                 status, detail = "FAIL", "score mismatch %s vs %s" % (
                     np.asarray(got_s).tolist(), np.asarray(want_s).tolist())
@@ -205,7 +232,7 @@ def main():
             ("nw_long_chunked_inline", scoring_system_default, dna),
             ("nw_long_chunked_lut", nwq, dnan),
         ]:
-            rng = np.random.default_rng(abs(hash(label)) % 2**31)
+            rng = np.random.default_rng(_seed(label))
             a = "".join(rng.choice(alpha, 5000))
             b = "".join(rng.choice(alpha, 4500))
             t0 = time.perf_counter()
@@ -213,13 +240,19 @@ def main():
             try:
                 os.environ.pop("SEQALIGN_PALLAS", None)
                 n_ev = len(hook.events)
+                n_disp = sum(aligners.pallas_dispatch_counts().values())
                 nw = NeedlemanWunsch(mk())
                 g = nw.align_long(a, b, chunk=2048)
                 fell_back = hook.events[n_ev:]
+                new_disp = (sum(aligners.pallas_dispatch_counts().values())
+                            - n_disp)
                 os.environ["SEQALIGN_PALLAS"] = "off"
                 w = nw.align_long(a, b, chunk=2048)
                 if fell_back:
                     status, detail = "FALLBACK", "; ".join(fell_back)[:160]
+                elif new_disp == 0:
+                    status, detail = "NOPALLAS", \
+                        "no Pallas kernel dispatched"
                 elif (g.result_a, g.result_b, g.score) != (
                         w.result_a, w.result_b, w.score):
                     status, detail = "FAIL", "long-chunk mismatch"
