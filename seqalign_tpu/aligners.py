@@ -781,6 +781,14 @@ class SmithWaterman:
             return [host_dp.HostSwHits(self.scoring, a, b,
                                        history=self.history)
                     for a, b in zip(seqs_a, seqs_b)]
+        if min_scores is None:
+            # reference hits always score > 0 (integer scores: M >= 1), so
+            # a threshold of 1 prunes nothing — but it turns on the
+            # on-device candidate harvest, so the M matrix never
+            # transfers to host and the Pallas envelope stays at full
+            # width for hint-less callers (round-2 weak item 6: the
+            # 1024-lane emit_m cliff)
+            min_scores = [1] * len(seqs_a)
         return self._align_batch_device(seqs_a, seqs_b, min_scores)
 
     def _align_batch_device(self, seqs_a, seqs_b, min_scores=None) -> List:
@@ -877,14 +885,18 @@ class SmithWaterman:
 
     def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048,
                    min_score: Optional[int] = None):
-        """Long-sequence local multi-hit alignment via the chunked fill.
-        With ``min_score``, the streaming mode: per-chunk on-device
-        candidate harvest, M slabs never materialized on host — memory is
-        O(dirs + candidates), bounded for giant pairs.  Equality and
-        small-alphabet LUT scoring run the carry through the Pallas dirs
-        kernel."""
+        """Long-sequence local multi-hit alignment via the chunked fill,
+        streaming by default: per-chunk on-device candidate harvest, M
+        slabs never materialized on host — memory is O(dirs +
+        candidates), bounded for giant pairs.  (``min_score`` tightens
+        the harvest threshold; the default 1 is exact — reference hits
+        always score >= 1.)  Equality and small-alphabet LUT scoring run
+        the carry through the Pallas dirs kernel."""
         from .ops import dp
         from .ops.traceback import ChunkedDirs, ChunkedM, SwHitIterator
+
+        if min_score is None:
+            min_score = 1
 
         fast = _pallas_long_fill(
             self.scoring, [seq_a], [seq_b], is_sw=True, chunk=chunk,

@@ -143,3 +143,143 @@ def distributed_score_file(sc: ScoringConfig, path1: str,
         out[local_idx] = local_scores
         return out
     return _allgather_ragged(local_idx, local_scores)
+
+
+def _allgather_packed(meta: np.ndarray, buf: np.ndarray):
+    """Gather per-host (R_i, K) int64 record tables + uint8 string buffers
+    of different sizes; returns (meta_all, buf_list) where buf_list[p] is
+    host p's buffer and meta_all rows carry their host id in column 0."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    sizes = np.array([meta.shape[0], buf.shape[0]], np.int64)
+    all_sizes = np.asarray(multihost_utils.process_allgather(sizes))
+    rmax = int(all_sizes[:, 0].max(initial=0))
+    bmax = int(all_sizes[:, 1].max(initial=0))
+    K = meta.shape[1]
+    mpad = np.full((max(rmax, 1), K), -1, np.int64)
+    if meta.size:
+        mpad[: meta.shape[0]] = meta
+    bpad = np.zeros(max(bmax, 1), np.uint8)
+    bpad[: buf.shape[0]] = buf
+    g_meta = np.asarray(multihost_utils.process_allgather(mpad))
+    g_buf = np.asarray(multihost_utils.process_allgather(bpad))
+    del jax
+    metas = []
+    bufs = []
+    for p in range(all_sizes.shape[0]):
+        metas.append(g_meta[p, : all_sizes[p, 0]])
+        bufs.append(g_buf[p, : all_sizes[p, 1]])
+    return metas, bufs
+
+
+def distributed_align_file(sc: ScoringConfig, path1: str,
+                           path2: Optional[str] = None, *, is_sw: bool,
+                           batch: int = 256,
+                           min_score: Optional[int] = None,
+                           max_hits: Optional[int] = None):
+    """Full alignments for every pair in the input file(s) across all
+    hosts: each host fills + tracebacks its round-robin pair shard on its
+    local devices, then the packed alignment records (scores, positions,
+    gapped strings) are assembled with a process allgather — every host
+    returns the identical, complete, pair-ordered result
+    (SURVEY §2.4-3 "all_gather of scores/alignment strings"; the loop
+    being scaled is the reference's align-and-print callback,
+    alignment_cmdline.c:611-622).
+
+    NW: list[Alignment].  SW: list[list[Alignment]] — each pair's hit
+    stream best-first, pruned at ``min_score`` (default 1 = every
+    positive-scoring hit, smith_waterman.c:260-277 semantics) and capped
+    at ``max_hits`` per pair.
+
+    Single-process (no ``init_from_env``) degrades to a plain local run.
+    """
+    import jax
+
+    from ..aligners import NeedlemanWunsch, SmithWaterman
+    from ..ops.host_dp import Alignment
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    thr = 1 if min_score is None else int(min_score)
+
+    records: list[tuple] = []  # (idx, hit_no, score, pos_a, pos_b, aln_a, aln_b)
+    buf_parts: list[bytes] = []
+    buf_len = 0
+    al = (SmithWaterman(sc) if is_sw else NeedlemanWunsch(sc))
+    buf_i: list[int] = []
+    buf_a: list[str] = []
+    buf_b: list[str] = []
+
+    def emit(idx, hit_no, r):
+        nonlocal buf_len
+        pa = r.result_a.encode()
+        pb = r.result_b.encode()
+        records.append((idx, hit_no, r.score, r.pos_a, r.pos_b,
+                        r.len_a, r.len_b, buf_len, len(pa), len(pb)))
+        buf_parts.append(pa)
+        buf_parts.append(pb)
+        buf_len += len(pa) + len(pb)
+
+    def flush():
+        if not buf_i:
+            return
+        if is_sw:
+            iters = al.align_batch(buf_a, buf_b,
+                                   min_scores=[thr] * len(buf_i))
+            for idx, it in zip(buf_i, iters):
+                for h_no, h in enumerate(it):
+                    if h.score < thr or (max_hits is not None
+                                         and h_no >= max_hits):
+                        break
+                    emit(idx, h_no, h)
+        else:
+            for idx, r in zip(buf_i, al.align_batch(buf_a, buf_b)):
+                emit(idx, 0, r)
+        buf_i.clear()
+        buf_a.clear()
+        buf_b.clear()
+
+    n_total = 0
+    for idx, (_, seq_a), (_, seq_b) in seqio.read_pairs_sharded(
+        path1, path2, pid, nproc
+    ):
+        n_total = max(n_total, idx + 1)
+        buf_i.append(idx)
+        buf_a.append(seq_a)
+        buf_b.append(seq_b)
+        if len(buf_i) >= batch:
+            flush()
+    flush()
+
+    meta = np.asarray(records, np.int64).reshape(len(records), 10)
+    buf = np.frombuffer(b"".join(buf_parts), np.uint8)
+
+    if nproc > 1:
+        metas, bufs = _allgather_packed(meta, buf)
+        # total pair count must come from all hosts (shards are ragged)
+        from jax.experimental import multihost_utils
+
+        n_total = int(np.asarray(multihost_utils.process_allgather(
+            np.array([n_total], np.int64))).max(initial=0))
+    else:
+        metas, bufs = [meta], [buf]
+
+    out: list = [None] * n_total if not is_sw else [[] for _ in
+                                                    range(n_total)]
+    staged = []
+    for p, (m, bb) in enumerate(zip(metas, bufs)):
+        for row in m:
+            (idx, hit_no, score, pos_a, pos_b, lena, lenb, off, la_,
+             lb_) = (int(v) for v in row)
+            ra = bytes(bb[off: off + la_]).decode()
+            rb = bytes(bb[off + la_: off + la_ + lb_]).decode()
+            staged.append((idx, hit_no,
+                           Alignment(ra, rb, score, pos_a, pos_b, lena,
+                                     lenb)))
+    for idx, hit_no, aln in sorted(staged, key=lambda t: (t[0], t[1])):
+        if is_sw:
+            out[idx].append(aln)
+        else:
+            out[idx] = aln
+    return out

@@ -10,6 +10,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqalign_tpu.parallel.distributed import (  # noqa: E402
+    distributed_align_file,
     distributed_score_file,
     init_from_env,
 )
@@ -22,14 +23,24 @@ from seqalign_tpu.scoring.presets import (  # noqa: E402
 def main():
     path = sys.argv[1]
     is_sw = "--sw" in sys.argv
+    align = "--align" in sys.argv
     multi = init_from_env()
     sc = scoring_system_sw_default() if is_sw else scoring_system_default()
-    scores = distributed_score_file(sc, path, is_sw=is_sw, batch=4)
-    print(json.dumps({
-        "multi": multi,
-        "pid": int(os.environ.get("SEQALIGN_PROC_ID", "0")),
-        "scores": [int(s) for s in scores],
-    }))
+    out = {"multi": multi,
+           "pid": int(os.environ.get("SEQALIGN_PROC_ID", "0"))}
+    if align:
+        res = distributed_align_file(sc, path, is_sw=is_sw, batch=4)
+        if is_sw:
+            out["alns"] = [[(h.result_a, h.result_b, int(h.score),
+                             int(h.pos_a), int(h.pos_b)) for h in hits]
+                           for hits in res]
+        else:
+            out["alns"] = [(r.result_a, r.result_b, int(r.score))
+                           for r in res]
+    else:
+        scores = distributed_score_file(sc, path, is_sw=is_sw, batch=4)
+        out["scores"] = [int(s) for s in scores]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

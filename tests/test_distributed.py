@@ -91,3 +91,52 @@ def test_single_process_distributed_score_file(tmp_path):
     got = distributed_score_file(scoring_system_default(), path, is_sw=False)
     want = NeedlemanWunsch().score_batch(seqs[0::2], seqs[1::2])
     np.testing.assert_array_equal(got, np.asarray(want))
+
+
+@pytest.mark.parametrize("is_sw", [False, True])
+def test_two_process_distributed_alignments(tmp_path, is_sw):
+    """Full alignments across 2 real jax.distributed processes: both hosts
+    must assemble the identical, complete, pair-ordered alignment records
+    (SURVEY §2.4-3 — scores AND packed traceback strings over DCN)."""
+    path, seqs = _write_pairs(tmp_path, n_pairs=9, seed=13)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            SEQALIGN_COORDINATOR=f"127.0.0.1:{port}",
+            SEQALIGN_NUM_PROCS="2",
+            SEQALIGN_PROC_ID=str(pid),
+            JAX_PLATFORMS="cpu",
+            PALLAS_AXON_POOL_IPS="",
+        )
+        cmd = [sys.executable, WORKER, path, "--align"] + (
+            ["--sw"] if is_sw else [])
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err.decode()[-2000:]
+        outs.append(json.loads(out.decode().strip().splitlines()[-1]))
+
+    from seqalign_tpu.aligners import NeedlemanWunsch, SmithWaterman
+
+    sa = seqs[0::2]
+    sb = seqs[1::2]
+    if is_sw:
+        want = [[[h.result_a, h.result_b, h.score, h.pos_a, h.pos_b]
+                 for h in hits]
+                for hits in SmithWaterman().align_batch(
+                    sa, sb, min_scores=[1] * len(sa))]
+        norm = lambda alns: [[list(h) for h in hits] for hits in alns]  # noqa: E731
+    else:
+        want = [[r.result_a, r.result_b, r.score]
+                for r in NeedlemanWunsch().align_batch(sa, sb)]
+        norm = lambda alns: [list(r) for r in alns]  # noqa: E731
+
+    for o in outs:
+        assert o["multi"] is True
+        assert norm(o["alns"]) == want

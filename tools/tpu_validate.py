@@ -151,10 +151,11 @@ def main():
     for label, mk, alpha, is_sw, (lo, hi), B in scenarios:
         rng = np.random.default_rng(_seed(label))
         sc = mk()
-        # the device pin below must actually hold: the wrap-risk regime
+        # the device pin below must actually hold: the NW wrap-risk regime
         # reroutes to host BEFORE SEQALIGN_FORCE (aligners._route), which
-        # would silently compare host against host (ADVICE round 2)
-        assert not sc.sentinel_wrap_risk(), label
+        # would silently compare host against host (ADVICE round 2).  SW
+        # has no sentinel (clamps at 0; _route takes sc=None for SW).
+        assert is_sw or not sc.sentinel_wrap_risk(), label
         sa = _ragged(rng, alpha, B, lo, hi)
         sb = _ragged(rng, alpha, B, lo, hi)
         t0 = time.perf_counter()
@@ -228,13 +229,17 @@ def main():
     # chunked long fill through the Pallas dirs kernel: equality (inline)
     # and LUT scoring carry paths, pallas vs XLA-off (dp.fill_chunked)
     if not quick:
-        for label, mk, alpha in [
-            ("nw_long_chunked_inline", scoring_system_default, dna),
-            ("nw_long_chunked_lut", nwq, dnan),
+        for label, mk, alpha, blen in [
+            ("nw_long_chunked_inline", scoring_system_default, dna, 4500),
+            # the LUT chunked kernel's lane envelope is 4096 (its static
+            # VMEM planes take the conservative half-envelope) — size b
+            # inside it so the scenario validates the kernel, not the
+            # designed XLA fallback beyond it
+            ("nw_long_chunked_lut", nwq, dnan, 3500),
         ]:
             rng = np.random.default_rng(_seed(label))
             a = "".join(rng.choice(alpha, 5000))
-            b = "".join(rng.choice(alpha, 4500))
+            b = "".join(rng.choice(alpha, blen))
             t0 = time.perf_counter()
             status, detail = "OK", ""
             try:
