@@ -23,6 +23,7 @@ are pinned to the reference by the golden corpus.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Sequence
 
@@ -426,6 +427,8 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
                                  ilv=geo["ILV"])
 
+    planes.code_at = _v1_code_at(dirs_np, geo, lb)
+
     if is_sw and mins is not None:
         from .ops.pallas_dp import packed_to_pair_planes
 
@@ -471,9 +474,14 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
             interpret=_pallas_mode() == "interpret", unroll=unroll,
             nsg=sc.no_start_gap_penalty, lut_np=lut_np,
         )
-        dirs_np = np.asarray(dirs)
+        # NW never fetches the dirs tensor (the device walk reads it in
+        # place — a 51MB fetch measured 2.9s through the dev tunnel); SW
+        # iterators still need host random access
+        dirs_np = np.asarray(dirs) if is_sw else None
         _note_dispatch("dirs2")
-        corner_np = np.asarray(corner) if corner is not None else None
+        # the NW corner stays on device: the traceback walk consumes it
+        # there (one fewer tunnel round trip per bucket)
+        corner_np = corner
 
         if is_sw and mins is not None:
             mplanes = pair_planes_device2(mdev, geo, la, lb,
@@ -491,10 +499,69 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
         _pallas_failed("dirs2")
         return None
 
-    def planes(j, _arr=dirs_np):
-        return unpack_pair_plane2(_arr, j, geo, la, lb)
+    cache = {"np": dirs_np}
 
+    def planes(j):
+        if cache["np"] is None:
+            cache["np"] = np.asarray(dirs)
+        return unpack_pair_plane2(cache["np"], j, geo, la, lb)
+
+    planes.device_walk = (dirs, _v2_gather(geo, len(seqs_a)))
+    if corner is not None:
+        planes.corner_dev = corner
     return planes, m_part, corner_np, na, nb, geo
+
+
+@functools.lru_cache(maxsize=256)
+def _v2_gather_cached(BS, P, C, W, B):
+    j = np.arange(B)
+    i, r = np.divmod(j, BS * P * C)
+    sp, c = np.divmod(r, C)
+    ss, pp = np.divmod(sp, P)
+    cW = (c * W).astype(np.int32)
+
+    def gather(dirs, X, Y):
+        lane = (Y - 1) * P + pp if P > 1 else (Y - 1)
+        return dirs[i, cW + X + Y - 1, ss, lane]
+
+    return gather
+
+
+def _v2_gather(geo, B):
+    """Device-side packed-plane gather for the chained v2 layout (see
+    pallas_dp2.unpack_pair_plane2): gather(dirs, X, Y) -> per-pair code
+    bytes at cells (Y, X), for the on-device traceback walk.  CACHED per
+    geometry so traceback._walk_jit reuses one compiled walk per
+    bucket shape."""
+    return _v2_gather_cached(geo["BS"], geo["P"], geo["C"], geo["W"], B)
+
+
+@functools.lru_cache(maxsize=256)
+def _xla_gather(B):
+    """Device gather for the XLA dp_fill dirs layout (B, D, LBp)."""
+    def gather(dirs, X, Y):
+        import jax.numpy as jnp
+
+        return dirs[jnp.arange(B), X + Y - 2, Y]
+
+    return gather
+
+
+def _v1_code_at(dirs_np, geo, lb):
+    """Vectorized gather for the v1 lane-packed layout
+    (pallas_dp.unpack_pair_plane)."""
+    BS, P, ilv = geo["BS"], geo["P"], geo["ILV"]
+
+    def code_at(j, y, x):
+        i, r = np.divmod(j, BS * P)
+        ss, pp = np.divmod(r, P)
+        if ilv:
+            lane = (y - 1) * P + pp
+        else:
+            lane = pp * lb + (y - 1)
+        return dirs_np[i, x + y - 2, ss, lane]
+
+    return code_at
 
 
 def _pallas_long_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
@@ -634,7 +701,10 @@ class NeedlemanWunsch:
 
     def _align_batch_device(self, seqs_a, seqs_b) -> List[Alignment]:
         from .ops import dp
-        from .ops.traceback import ChunkedDirs, nw_traceback
+        from .ops.traceback import (
+            ChunkedDirs, nw_strings_from_ops, nw_traceback,
+            nw_traceback_batch, nw_walk_device,
+        )
 
         results: List[Optional[Alignment]] = [None] * len(seqs_a)
         for key, idx in _buckets(seqs_a, seqs_b):
@@ -660,21 +730,36 @@ class NeedlemanWunsch:
             fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=False)
             if fast is not None:
                 planes, _, corner, na, nb, geo = fast
+                if hasattr(planes, "device_walk"):
+                    # on-device walk: only the ~1 byte/step op trace is
+                    # fetched, never the dirs tensor (a 51MB bucket fetch
+                    # measured 2.9s through the dev tunnel)
+                    dirs_dev, gather = planes.device_walk
+                    cap = int(np.max(np.asarray(na) + np.asarray(nb)))
+                    ops, score = nw_walk_device(
+                        dirs_dev, gather,
+                        getattr(planes, "corner_dev", corner),
+                        na, nb, cap)
+                    alns = nw_strings_from_ops(ga, gb, na, nb, ops, score)
+                else:
+                    # vectorized whole-bucket host walk (the per-pair
+                    # Python chase was 1000x the kernel fill)
+                    alns = nw_traceback_batch(ga, gb, na, nb,
+                                              planes.code_at, corner)
                 for j, i in enumerate(idx):
-                    results[i] = nw_traceback(
-                        ga[j], gb[j], na[j], nb[j], planes(j), corner[j]
-                    )
+                    results[i] = alns[j]
                 continue
             out, na, nb = dp.fill_batch(
                 self.scoring, ga, gb, is_sw=False, emit_dirs=True,
                 pow2_pad=True,
             )
-            dirs = np.asarray(out.dirs)
             corner = np.asarray(out.corner)
+            cap = int(np.max(np.asarray(na) + np.asarray(nb)))
+            ops, score = nw_walk_device(out.dirs, _xla_gather(len(ga)),
+                                        corner, na, nb, cap)
+            alns = nw_strings_from_ops(ga, gb, na, nb, ops, score)
             for j, i in enumerate(idx):
-                results[i] = nw_traceback(
-                    ga[j], gb[j], na[j], nb[j], dirs[j], corner[j]
-                )
+                results[i] = alns[j]
         return results  # type: ignore[return-value]
 
     def score(self, seq_a: str, seq_b: str) -> int:

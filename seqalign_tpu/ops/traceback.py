@@ -334,3 +334,205 @@ class SwHitIterator:
             if h is None:
                 return
             yield h
+
+
+def nw_start_batch(corners: np.ndarray):
+    """Vectorized :func:`nw_start` over (B, 3) corners: start matrix with
+    the GAP_A >= GAP_B >= MATCH preference (needleman_wunsch.c:53-66)."""
+    m, ga, gb = (corners[:, 0].astype(np.int64),
+                 corners[:, 1].astype(np.int64),
+                 corners[:, 2].astype(np.int64))
+    curr = np.full(len(corners), MATCH, np.int64)
+    score = m.copy()
+    upd = gb >= score
+    curr[upd] = GAP_B
+    score[upd] = gb[upd]
+    upd = ga >= score
+    curr[upd] = GAP_A
+    score[upd] = ga[upd]
+    return curr, score
+
+
+def nw_traceback_batch(seqs_a, seqs_b, na, nb, code_at, corners):
+    """Vectorized global traceback over a whole bucket: walks every
+    pair's direction codes simultaneously with numpy steps instead of a
+    per-pair Python pointer chase (which dominated end-to-end CLI time at
+    3-5 ms/pair vs the kernel fill's ~3 us/pair).
+
+    ``code_at(idx, y, x)`` gathers packed direction bytes for vectors of
+    (pair index, y, x) — the caller binds it to whichever fill layout
+    produced the codes.  Bit-identical to per-pair :func:`nw_traceback`
+    (same step rule, needleman_wunsch.c:34-146 + alignment.c:244-350);
+    raises on DIR_FAIL like the reference's abort."""
+    B = len(seqs_a)
+    na = np.asarray(na, np.int64)
+    nb = np.asarray(nb, np.int64)
+    curr, score = nw_start_batch(np.asarray(corners))
+    X = na.copy()
+    Y = nb.copy()
+    # ops/x/y traces, one row per step (walk length <= na + nb)
+    cap = int((na + nb).max(initial=0))
+    ops = np.full((B, cap), -1, np.int8)
+    xs_t = np.zeros((B, cap), np.int32)
+    ys_t = np.zeros((B, cap), np.int32)
+    step = 0
+    idx_all = np.arange(B, dtype=np.int64)
+    while True:
+        active = (X > 0) & (Y > 0)
+        if not active.any():
+            break
+        ai = idx_all[active]
+        code = code_at(ai, Y[active], X[active]).astype(np.int64)
+        nxt = (code >> (2 * curr[active])) & 3
+        if (nxt == DIR_FAIL).any():
+            raise RuntimeError(
+                "traceback fail: no predecessor matches "
+                "(alignment.c:329-349)")
+        ops[ai, step] = curr[active]
+        xs_t[ai, step] = X[active]
+        ys_t[ai, step] = Y[active]
+        mv = curr[active]
+        X[active] -= (mv != GAP_A)
+        Y[active] -= (mv != GAP_B)
+        curr[active] = nxt
+        step += 1
+    # leading unaligned prefixes as gap runs (needleman_wunsch.c:117-132)
+    out = []
+    for j in range(B):
+        a = encode(seqs_a[j])
+        b = encode(seqs_b[j])
+        n = int(np.count_nonzero(ops[j] >= 0))
+        op = ops[j, :n][::-1].astype(np.int64)
+        xv = xs_t[j, :n][::-1].astype(np.int64)
+        yv = ys_t[j, :n][::-1].astype(np.int64)
+        ca = np.where(op == GAP_A, ord("-"),
+                      a[np.maximum(xv - 1, 0)] if len(a) else ord("-"))
+        cb = np.where(op == GAP_B, ord("-"),
+                      b[np.maximum(yv - 1, 0)] if len(b) else ord("-"))
+        # prefix: remaining y then x consumed as gap runs, reversed
+        py = int(Y[j])
+        px = int(X[j])
+        pre_a = np.concatenate([
+            a[:px], np.full(py, ord("-"), np.uint8)])
+        pre_b = np.concatenate([
+            np.full(px, ord("-"), np.uint8), b[:py]])
+        ra = pre_a.tobytes().decode() + ca.astype(np.uint8).tobytes().decode()
+        rb = pre_b.tobytes().decode() + cb.astype(np.uint8).tobytes().decode()
+        out.append(Alignment(ra, rb, int(score[j]), 0, 0, len(a), len(b)))
+    return out
+
+
+def nw_walk_device(dirs_dev, gather_fn, corners, na, nb, cap: int):
+    """Walk every pair's traceback ON DEVICE and fetch only the (B, cap)
+    int8 op trace (~1 byte/step) instead of the full direction-code
+    tensor (~1 byte/CELL — a 51MB fetch per 256x512-pair bucket measured
+    2.9s through the dev tunnel, dwarfing the 1ms fill).
+
+    ``gather_fn(dirs_dev, X, Y)`` returns each pair's packed code byte at
+    cell (Y, X) as a jnp vector — bound per fill layout.  ``corners`` may
+    be a DEVICE (B, 3) array: the start-matrix pick runs on device so the
+    whole walk costs ONE host round trip.  Returns the op trace (B, cap)
+    int8 (op = matrix walked at each step, -1 once done; DIR_FAIL
+    surfaces as a 3 in the NEXT step) plus the start scores.  ``cap`` is
+    rounded up to a multiple of 256 to bound compile-shape count on
+    ragged batches."""
+    import jax.numpy as jnp
+
+    cap = -(-cap // 256) * 256
+    walk = _walk_jit(gather_fn, cap)
+    ops, score = walk(
+        dirs_dev, jnp.asarray(na, jnp.int32), jnp.asarray(nb, jnp.int32),
+        jnp.asarray(corners))
+    return np.asarray(ops), np.asarray(score)
+
+
+_WALK_CACHE: dict = {}
+
+
+def _walk_jit(gather_fn, cap: int):
+    """One jitted walk per (gather closure, step bound): callers must
+    hand in a CACHED gather_fn (see aligners._v2_gather) or every batch
+    pays a ~0.7s recompile."""
+    key = (id(gather_fn), cap)
+    fn = _WALK_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def walk(dirs, X, Y, corners):
+        # start-matrix preference GAP_A >= GAP_B >= MATCH on device
+        # (needleman_wunsch.c:53-66)
+        m, ga, gb = (corners[:, 0].astype(jnp.int32),
+                     corners[:, 1].astype(jnp.int32),
+                     corners[:, 2].astype(jnp.int32))
+        curr = jnp.full(corners.shape[0], MATCH, jnp.int32)
+        score = m
+        curr = jnp.where(gb >= score, GAP_B, curr)
+        score = jnp.maximum(score, gb)
+        curr = jnp.where(ga >= score, GAP_A, curr)
+        score = jnp.maximum(score, ga)
+
+        def step(carry, _):
+            X, Y, curr = carry
+            active = (X > 0) & (Y > 0)
+            code = gather_fn(dirs, X, Y).astype(jnp.int32)
+            nxt = (code >> (2 * curr)) & 3
+            op = jnp.where(active, curr, -1).astype(jnp.int8)
+            X = jnp.where(active & (curr != GAP_A), X - 1, X)
+            Y = jnp.where(active & (curr != GAP_B), Y - 1, Y)
+            curr = jnp.where(active, nxt, curr)
+            return (X, Y, curr), op
+
+        (_, _, _), ops = jax.lax.scan(step, (X, Y, curr), None,
+                                      length=cap)
+        return ops.T, score  # (B, cap), (B,)
+
+    # keep the gather closure alive so its id stays unique
+    _WALK_CACHE[key] = walk
+    walk._gather_ref = gather_fn
+    return walk
+
+
+def nw_strings_from_ops(seqs_a, seqs_b, na, nb, ops, score):
+    """Rebuild alignment strings from a device-walked op trace: the
+    (X, Y) coordinates at every step are recovered with cumsums, then
+    the characters come from vectorized gathers — no per-step Python."""
+    na = np.asarray(na, np.int64)
+    nb = np.asarray(nb, np.int64)
+    B = len(seqs_a)
+    out = []
+    for j in range(B):
+        a = encode(seqs_a[j])
+        b = encode(seqs_b[j])
+        oj = ops[j]
+        n = int(np.count_nonzero(oj >= 0))
+        op = oj[:n].astype(np.int64)
+        if (op == DIR_FAIL).any():
+            raise RuntimeError(
+                "traceback fail: no predecessor matches "
+                "(alignment.c:329-349)")
+        # X/Y before each step: X decreases on MATCH/GAP_B, Y on
+        # MATCH/GAP_A
+        dx = (op != GAP_A).astype(np.int64)
+        dy = (op != GAP_B).astype(np.int64)
+        xv = na[j] - np.concatenate([[0], np.cumsum(dx)[:-1]])
+        yv = nb[j] - np.concatenate([[0], np.cumsum(dy)[:-1]])
+        px = int(na[j] - dx.sum())
+        py = int(nb[j] - dy.sum())
+        op = op[::-1]
+        xv = xv[::-1]
+        yv = yv[::-1]
+        ca = np.where(op == GAP_A, ord("-"),
+                      a[np.maximum(xv - 1, 0)] if len(a) else ord("-"))
+        cb = np.where(op == GAP_B, ord("-"),
+                      b[np.maximum(yv - 1, 0)] if len(b) else ord("-"))
+        pre_a = np.concatenate([a[:px], np.full(py, ord("-"), np.uint8)])
+        pre_b = np.concatenate([np.full(px, ord("-"), np.uint8), b[:py]])
+        ra = pre_a.tobytes().decode() + \
+            ca.astype(np.uint8).tobytes().decode()
+        rb = pre_b.tobytes().decode() + \
+            cb.astype(np.uint8).tobytes().decode()
+        out.append(Alignment(ra, rb, int(score[j]), 0, 0, len(a), len(b)))
+    return out
