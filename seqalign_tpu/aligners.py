@@ -474,10 +474,11 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
             interpret=_pallas_mode() == "interpret", unroll=unroll,
             nsg=sc.no_start_gap_penalty, lut_np=lut_np,
         )
-        # NW never fetches the dirs tensor (the device walk reads it in
-        # place — a 51MB fetch measured 2.9s through the dev tunnel); SW
-        # iterators still need host random access
-        dirs_np = np.asarray(dirs) if is_sw else None
+        # the dirs tensor is NEVER eagerly fetched (a 51MB bucket fetch
+        # measured 2.9s through the dev tunnel): NW walks on device, SW
+        # walks candidates on device, and the planes() accessor
+        # materializes lazily for the remaining consumers
+        dirs_np = None
         _note_dispatch("dirs2")
         # the NW corner stays on device: the traceback walk consumes it
         # there (one fewer tunnel round trip per bucket)
@@ -488,6 +489,9 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
                                           len(seqs_a))
             m_part = dp.sw_extract_candidates(
                 mplanes, na, nb, np.asarray(mins, np.int32))
+            sw_walk = _v2_sw_walker(sc, dirs, geo, ac, bc,
+                                    None if subK is None else subK,
+                                    lut_np, len(seqs_a))
         elif mdev is not None:
             m_np = np.asarray(mdev)
 
@@ -509,7 +513,76 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
     planes.device_walk = (dirs, _v2_gather(geo, len(seqs_a)))
     if corner is not None:
         planes.corner_dev = corner
+    if is_sw and mins is not None:
+        planes.sw_walk = sw_walk
+        planes.sw_na = np.asarray(na)
     return planes, m_part, corner_np, na, nb, geo
+
+
+_SW_PREWALK = 16  # candidates pre-walked per pair in the batched round
+
+
+def _v2_sw_walker(sc, dirs_dev, geo, ac, bc, subK, lut_np, B):
+    """Device SW candidate walker bound to a v2 fill: the SwHitIterator
+    replays masking over these op traces; the direction codes never
+    leave the device (traceback.SwDeviceWalker)."""
+    import jax.numpy as jnp
+
+    from .ops.traceback import SwDeviceWalker
+
+    gather_w = _v2_gather_walk(geo["BS"], geo["P"], geo["C"], geo["W"], B)
+    return SwDeviceWalker(
+        dirs_dev, gather_w, jnp.asarray(ac), jnp.asarray(bc),
+        jnp.asarray(subK if subK is not None else _DUMMY_TABLE),
+        lut_mode=lut_np > 0, mt=sc.match, mm=sc.mismatch,
+        gop=sc.gap_open + sc.gap_extend, ge=sc.gap_extend)
+
+
+def _sw_prewalk(walker, cands_list, na):
+    """One batched device round walking the top candidates of every
+    pair (sorted with the iterator's exact tie order), plus per-pair
+    walk-ahead closures for deeper consumers.  Returns (pre_paths list,
+    walker-closure list)."""
+    jws, x0s, y0s, s0s, owners = [], [], [], [], []
+    tops = []
+    for j, (flat, scv) in enumerate(cands_list):
+        w = int(na[j]) + 1
+        if len(flat):
+            xc = flat % w
+            order = np.lexsort((flat, xc, -scv))
+            top = order[:_SW_PREWALK]
+        else:
+            top = np.zeros(0, np.int64)
+        tops.append((flat, scv))
+        jws.append(np.full(len(top), j, np.int64))
+        x0s.append((flat[top] % w).astype(np.int64))
+        y0s.append((flat[top] // w).astype(np.int64))
+        s0s.append(scv[top].astype(np.int64))
+        owners.append(flat[top])
+    jw = np.concatenate(jws) if jws else np.zeros(0, np.int64)
+    pre = [dict() for _ in cands_list]
+    if len(jw):
+        ops = walker.walk(jw, np.concatenate(x0s), np.concatenate(y0s),
+                          np.concatenate(s0s))
+        k = 0
+        for j, fl in enumerate(owners):
+            for f in fl:
+                pre[j][int(f)] = ops[k]
+                k += 1
+
+    def mk(j):
+        w = int(na[j]) + 1
+
+        def walk_many(flats, scores):
+            flats = np.asarray(flats, np.int64)
+            ops = walker.walk(np.full(len(flats), j, np.int64),
+                              flats % w, flats // w,
+                              np.asarray(scores, np.int64))
+            return {int(f): ops[i] for i, f in enumerate(flats)}
+
+        return walk_many
+
+    return pre, [mk(j) for j in range(len(cands_list))]
 
 
 @functools.lru_cache(maxsize=256)
@@ -523,6 +596,29 @@ def _v2_gather_cached(BS, P, C, W, B):
     def gather(dirs, X, Y):
         lane = (Y - 1) * P + pp if P > 1 else (Y - 1)
         return dirs[i, cW + X + Y - 1, ss, lane]
+
+    return gather
+
+
+@functools.lru_cache(maxsize=256)
+def _v2_gather_walk(BS, P, C, W, B):
+    """Per-walk variant of :func:`_v2_gather`: gather(dirs, jw, X, Y)
+    where ``jw`` are per-walk pair indices (traced device vector — the
+    per-pair metadata must be jnp so tracer indexing works)."""
+    import jax.numpy as jnp
+
+    j = np.arange(B)
+    i, r = np.divmod(j, BS * P * C)
+    sp, c = np.divmod(r, C)
+    ss, pp = np.divmod(sp, P)
+    i = jnp.asarray(i)
+    ss = jnp.asarray(ss)
+    pp = jnp.asarray(pp)
+    cW = jnp.asarray((c * W).astype(np.int32))
+
+    def gather(dirs, jw, X, Y):
+        lane = (Y - 1) * P + pp[jw] if P > 1 else (Y - 1)
+        return dirs[i[jw], cW[jw] + X + Y - 1, ss[jw], lane]
 
     return gather
 
@@ -656,6 +752,22 @@ def _long_subbuckets(idx, seqs_a, seqs_b):
              dp._next_pow2(max(1, len(seqs_b[i]))))
         groups.setdefault(k, []).append(i)
     return [groups[k] for k in sorted(groups)]
+
+
+class _LazyPlanes:
+    """Deferred per-pair dirs plane: only materialized (device fetch) if
+    a consumer actually reads a code — the device-walked SW path never
+    does.  Implements the ``ops.traceback`` dirs-accessor protocol."""
+
+    def __init__(self, planes_fn, j):
+        self._fn = planes_fn
+        self._j = j
+        self._arr = None
+
+    def code(self, y: int, x: int) -> int:
+        if self._arr is None:
+            self._arr = self._fn(self._j)
+        return int(self._arr[x + y - 2, y])
 
 
 def _buckets(seqs_a, seqs_b):
@@ -924,8 +1036,21 @@ class SmithWaterman:
                                      mins=mins)
             if fast is not None:
                 planes, m_part, _, na, nb, geo = fast
+                pre = walkers = None
+                if mins is not None and hasattr(planes, "sw_walk"):
+                    # batched device pre-walk: hit paths come back as op
+                    # traces, the dirs tensor never transfers
+                    pre, walkers = _sw_prewalk(planes.sw_walk, m_part,
+                                               planes.sw_na)
                 for j, i in enumerate(idx):
-                    if mins is not None:  # device-harvested candidates
+                    if pre is not None:
+                        results[i] = SwHitIterator(
+                            self.scoring, ga[j], gb[j], int(na[j]),
+                            int(nb[j]), _LazyPlanes(planes, j),
+                            history=self.history, candidates=m_part[j],
+                            pre_paths=pre[j], walker=walkers[j],
+                        )
+                    elif mins is not None:  # device-harvested candidates
                         results[i] = SwHitIterator(
                             self.scoring, ga[j], gb[j], int(na[j]),
                             int(nb[j]), planes(j), history=self.history,

@@ -184,6 +184,8 @@ class SwHitIterator:
         history: Optional[SwRefMaskHistory] = None,
         candidates: Optional[tuple] = None,
         min_score: Optional[int] = None,
+        pre_paths: Optional[dict] = None,
+        walker=None,
     ):
         self.sc = sc
         self.a, self.b = encode(seq_a), encode(seq_b)
@@ -246,6 +248,12 @@ class SwHitIterator:
         else:
             self.cand = np.zeros(0, dtype=np.int64)
             self.cand_scores = np.zeros(0, dtype=np.int64)
+        # device-walked op traces: pre_paths maps candidate flat index ->
+        # int8 op row; walker(flats, scores) -> dict walks further
+        # candidates in batched device rounds (paths are mask-independent,
+        # so they can be precomputed; fetch() replays the masking here)
+        self.pre_paths = pre_paths
+        self.walker = walker
         self._history = history
         if history is None:
             self.mask: Optional[np.ndarray] = np.zeros(
@@ -315,15 +323,70 @@ class SwHitIterator:
             len_b=end_y - y,
         )
 
+    def _follow_hit_path(self, flat: int, end_score: int,
+                         ops: np.ndarray) -> Optional[Alignment]:
+        """Replay of :meth:`_follow_hit` over a device-walked op trace:
+        identical marking/abort semantics (smith_waterman.c:165-258), no
+        direction-code access."""
+        w = self.w
+        x0, y0 = int(flat % w), int(flat // w)
+        n = int(np.count_nonzero(ops >= 0))
+        op = ops[:n].astype(np.int64)
+        if (op == DIR_FAIL).any():
+            raise RuntimeError("sw traceback fail")
+        dx = (op != GAP_A).astype(np.int64)
+        dy = (op != GAP_B).astype(np.int64)
+        xs = x0 - np.concatenate([[0], np.cumsum(dx)])  # n+1 incl. terminal
+        ys = y0 - np.concatenate([[0], np.cumsum(dy)])
+        flats = ys * w + xs
+        vm = self.mask[flats]
+        if vm.any():
+            k = int(np.argmax(vm))
+            # marks before the abort stay (smith_waterman.c:187-190)
+            self.mask[flats[:k]] = True
+            return None
+        self.mask[flats] = True
+        ca = np.where(op == GAP_A, ord("-"),
+                      self.a[np.maximum(xs[:n] - 1, 0)] if len(self.a)
+                      else ord("-"))
+        cb = np.where(op == GAP_B, ord("-"),
+                      self.b[np.maximum(ys[:n] - 1, 0)] if len(self.b)
+                      else ord("-"))
+        ra = ca[::-1].astype(np.uint8).tobytes().decode()
+        rb = cb[::-1].astype(np.uint8).tobytes().decode()
+        tx, ty = int(xs[-1]), int(ys[-1])
+        return Alignment(ra, rb, end_score, pos_a=tx, pos_b=ty,
+                         len_a=x0 - tx, len_b=y0 - ty)
+
+    def _path_for(self, pos: int):
+        if self.pre_paths is None:
+            return None
+        flat = int(self.cand[pos])
+        ops = self.pre_paths.get(flat)
+        if ops is None and self.walker is not None:
+            hi = min(pos + 64, len(self.cand))
+            need = [k for k in range(pos, hi)
+                    if int(self.cand[k]) not in self.pre_paths]
+            if need:
+                self.pre_paths.update(self.walker(
+                    self.cand[need], self.cand_scores[need]))
+            ops = self.pre_paths.get(flat)
+        return ops
+
     def fetch(self) -> Optional[Alignment]:
         if self.mask is None:
             self.mask = self._history.begin_pair((self.nb + 1) * self.w)
         while self.next_hit < len(self.cand):
-            flat = int(self.cand[self.next_hit])
-            score = int(self.cand_scores[self.next_hit])
+            pos = self.next_hit
+            flat = int(self.cand[pos])
+            score = int(self.cand_scores[pos])
             self.next_hit += 1
             if not self.mask[flat]:
-                hit = self._follow_hit(flat, score)
+                ops = self._path_for(pos)
+                if ops is not None:
+                    hit = self._follow_hit_path(flat, score, ops)
+                else:
+                    hit = self._follow_hit(flat, score)
                 if hit is not None:
                     return hit
         return None
@@ -536,3 +599,88 @@ def nw_strings_from_ops(seqs_a, seqs_b, na, nb, ops, score):
             cb.astype(np.uint8).tobytes().decode()
         out.append(Alignment(ra, rb, int(score[j]), 0, 0, len(a), len(b)))
     return out
+
+
+_SW_WALK_CACHE: dict = {}
+
+
+def sw_walk_jit(gather_w, cap: int, lut_mode: bool):
+    """One jitted SW candidate walk per (pair-meta closure, step bound,
+    scoring mode).  ``gather_w(dirs, jw, X, Y)`` gathers packed code
+    bytes for per-walk pair indices ``jw`` (bound per fill layout with
+    numpy metadata constants — see aligners).  The walk replays
+    smith_waterman.c:165-258's reverse stepping WITHOUT the overlap
+    mask: paths depend only on the direction codes and per-step
+    penalties, so the host can replay the masking/abort semantics over
+    the fetched op traces afterwards."""
+    key = (id(gather_w), cap, lut_mode)
+    fn = _SW_WALK_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def walk(dirs, acd, bcd, subK, jw, X, Y, cs, mt, mm, gop, ge):
+        def step(carry, _):
+            X, Y, curr, cs = carry
+            active = cs > 0
+            Xc = jnp.maximum(X, 1)
+            Yc = jnp.maximum(Y, 1)
+            code = gather_w(dirs, jw, Xc, Yc).astype(jnp.int32)
+            nxt = (code >> (2 * curr)) & 3
+            ai = acd[jw, Xc - 1]
+            bi = bcd[jw, Yc - 1]
+            if lut_mode:
+                sub = subK[ai, bi]
+            else:
+                sub = jnp.where(ai == bi, mt, mm)
+            pen = jnp.where(curr == MATCH, sub,
+                            jnp.where(nxt == curr, ge, gop))
+            op = jnp.where(active, curr, -1).astype(jnp.int8)
+            cs = jnp.where(active, cs - pen, cs)
+            X = jnp.where(active & (curr != GAP_A), X - 1, X)
+            Y = jnp.where(active & (curr != GAP_B), Y - 1, Y)
+            curr = jnp.where(active, nxt, curr)
+            return (X, Y, curr, cs), op
+
+        curr0 = jnp.zeros_like(X) + MATCH
+        (_, _, _, _), ops = jax.lax.scan(
+            step, (X, Y, curr0, cs), None, length=cap)
+        return ops.T  # (W, cap)
+
+    _SW_WALK_CACHE[key] = walk
+    walk._gather_ref = gather_w
+    return walk
+
+
+class SwDeviceWalker:
+    """Batched on-device SW candidate walker: walks candidate paths for
+    many (pair, cell, score) starts in one device call and returns int8
+    op traces — the direction-code tensor never transfers to host (a
+    ~51MB bucket fetch measured ~3s through the dev tunnel)."""
+
+    def __init__(self, dirs_dev, gather_w, acd, bcd, subK, *, lut_mode,
+                 mt, mm, gop, ge):
+        self.dirs = dirs_dev
+        self.gather_w = gather_w
+        self.acd = acd
+        self.bcd = bcd
+        self.subK = subK
+        self.lut_mode = lut_mode
+        self.scal = (np.int32(mt), np.int32(mm), np.int32(gop),
+                     np.int32(ge))
+
+    def walk(self, jw, x0, y0, s0):
+        import jax.numpy as jnp
+
+        cap = int(-(-max(int((np.asarray(x0) + np.asarray(y0)).max(
+            initial=1)), 1) // 256) * 256)
+        fn = sw_walk_jit(self.gather_w, cap, self.lut_mode)
+        mt, mm, gop, ge = self.scal
+        ops = np.asarray(fn(
+            self.dirs, self.acd, self.bcd, self.subK,
+            jnp.asarray(jw, jnp.int32), jnp.asarray(x0, jnp.int32),
+            jnp.asarray(y0, jnp.int32), jnp.asarray(s0, jnp.int32),
+            mt, mm, gop, ge))
+        return ops
