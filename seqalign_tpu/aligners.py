@@ -258,6 +258,12 @@ def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
     if (sc.no_end_gap_penalty or sc.no_gaps_in_a or sc.no_gaps_in_b
             or sc.no_mismatches):
         return None
+    # the G-folded H = max(M, Ga, Gb) reduction needs gap_open <= 0 in
+    # EVERY scoring mode (pallas_dp module docstring) — enforce it here
+    # so callers that don't route through _pallas_eligible (the sharded
+    # engine hooks) can't dispatch v2 on a positive-gap config
+    if sc.gap_open > 0:
+        return None
     from .ops.pallas_dp2 import chain_geometry, f32_safe2, lut2_eligible
 
     if inline:
@@ -265,7 +271,7 @@ def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
     else:
         # b-pad leak bound in lut2_eligible additionally needs
         # non-positive penalties (pallas_dp2._bake_packed_planes)
-        if sc.gap_extend > 0 or sc.gap_open > 0:
+        if sc.gap_extend > 0:
             return None
         lut_np = lut2_eligible(sc, subK)
         if lut_np == 0:

@@ -163,8 +163,10 @@ def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     if rem:
         a = np.pad(a, ((0, rem), (0, 0)))
         b = np.pad(b, ((0, rem), (0, 0)))
-        na = np.pad(na, (0, rem))
-        nb = np.pad(nb, (0, rem))
+        # filler lengths of 1 (not 0) keep ragged batches inside the v2
+        # fast path's min(na, nb) >= 1 gate (results are sliced to n)
+        na = np.pad(na, (0, rem), constant_values=1)
+        nb = np.pad(nb, (0, rem), constant_values=1)
     v2 = _v2_scores_sharded(sc, a, b, na, nb, is_sw=is_sw, mesh=mesh)
     if v2 is not None:
         return v2[:n]

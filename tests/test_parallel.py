@@ -100,3 +100,49 @@ def test_sharded_fill_rides_v2_kernel():
         w = host_dp.nw_align(sc, seqs_a[j], seqs_b[j])
         assert (res[j].result_a, res[j].result_b, res[j].score) == (
             w.result_a, w.result_b, w.score)
+
+
+def test_sharded_scores_gap_open_positive_correct():
+    """ADVICE round-3 high: the sharded score hook used to dispatch the v2
+    kernel for match/mismatch configs with gap_open > 0, whose G-folded
+    H = max(M, Ga, Gb) reduction is only valid for gap_open <= 0 — scores
+    came back silently wrong.  Pin exactness vs the host fill for both NW
+    and SW on a positive-gap_open config."""
+    from seqalign_tpu.ops import host_dp
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    rng = np.random.default_rng(11)
+    pairs = _rand_pairs(21, rng)
+    sa = [a for a, _ in pairs]
+    sb = [b for _, b in pairs]
+    sc = ScoringConfig(match=2, mismatch=-3, gap_open=1, gap_extend=-1)
+    mesh = make_mesh(8)
+    for is_sw in (False, True):
+        got = sharded_score_batch(sc, sa, sb, is_sw=is_sw, mesh=mesh)
+        want = np.zeros(len(sa), np.int32)
+        for i, (a, b) in enumerate(pairs):
+            M, Ga, Gb = host_dp.fill_matrices(sc, a, b, is_sw)
+            want[i] = M.max(initial=0) if is_sw else max(
+                M[-1, -1], Ga[-1, -1], Gb[-1, -1])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_scores_ragged_batch_rides_v2():
+    """ADVICE round-3 low: zero-length filler rows in ragged (non-mesh-
+    multiple) batches used to fail the v2 min(na, nb) >= 1 gate and push
+    the whole batch onto the XLA shard path.  The fast path must now fire
+    (filler lengths pad with 1) and stay exact."""
+    from seqalign_tpu import aligners
+
+    rng = np.random.default_rng(12)
+    pairs = _rand_pairs(13, rng)  # 13 % 8 != 0 -> ragged
+    sa = [a for a, _ in pairs]
+    sb = [b for _, b in pairs]
+    sc = scoring_system_default()
+    mesh = make_mesh(8)
+    before = aligners.pallas_dispatch_counts().get("scores2_sharded", 0)
+    got = sharded_score_batch(sc, sa, sb, is_sw=False, mesh=mesh)
+    after = aligners.pallas_dispatch_counts().get("scores2_sharded", 0)
+    assert after > before, "ragged batch did not ride the v2 scores kernel"
+    want = NeedlemanWunsch(sc).score_batch(sa, sb)
+    np.testing.assert_array_equal(got, want)
