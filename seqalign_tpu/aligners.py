@@ -191,7 +191,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
             use_pallas = False  # plane path lacks the no-gaps guards
     if use_pallas:
         v2 = _v2_scores_eligible(sc, inline, None if inline else subK,
-                                 la, lb)
+                                 la, lb, is_sw=is_sw)
         if v2 is not None:
             from .ops.pallas_dp2 import pallas_scores2
 
@@ -204,7 +204,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                     mismatch=np.int32(sc.mismatch),
                     subK=None if inline else jnp.asarray(subK),
                     interpret=_pallas_mode() == "interpret",
-                    nsg=sc.no_start_gap_penalty, lut_np=v2,
+                    nsg=sc.no_start_gap_penalty,
+                    neg=sc.no_end_gap_penalty, nga=sc.no_gaps_in_a,
+                    ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches, lut_np=v2,
                 )
                 out = np.asarray(out)
                 _note_dispatch("scores2")
@@ -247,16 +249,25 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
 
 
 def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
-                        la: int, lb: int):
-    """Gate for the round-3 chained scores kernel (ops/pallas_dp2):
-    default flags or free-START gaps only, in-kernel scoring (equality
-    or packed-LUT), f32-exactness over the chained band.  Returns the
-    packed-LUT plane count (0 for equality mode) or None when the v1
-    kernel should run instead.  ``SEQALIGN_V2=off`` pins the v1 path."""
+                        la: int, lb: int, is_sw: bool = False):
+    """Gate for the chained v2 kernels (ops/pallas_dp2): default flags,
+    free-START gaps, or (NW) free-END gaps, with in-kernel scoring
+    (equality or packed-LUT) and f32-exactness over the chained band.
+    Returns the packed-LUT plane count (0 for equality mode) or None
+    when the v1 kernel should run instead.  ``SEQALIGN_V2=off`` pins the
+    v1 path."""
     if os.environ.get("SEQALIGN_V2") == "off":
         return None
-    if (sc.no_end_gap_penalty or sc.no_gaps_in_a or sc.no_gaps_in_b
-            or sc.no_mismatches):
+    if sc.no_mismatches and not inline:
+        return None  # nmm needs in-kernel equality scoring
+    if is_sw and (sc.no_end_gap_penalty or sc.no_gaps_in_a
+                  or sc.no_gaps_in_b):
+        return None  # constrained-mode v2 kernels are NW-only (round 4)
+    if sc.no_gaps_in_a and sc.no_gaps_in_b:
+        # both-flags fills have unreachable interior cells whose NEG_INF
+        # sentinel chains WRAP in the reference's int32 arithmetic (UB)
+        # and the wrapped +2^31-ish garbage wins the corner max — byte
+        # parity needs the v1/XLA int32 path, not f32 -inf
         return None
     # the G-folded H = max(M, Ga, Gb) reduction needs gap_open <= 0 in
     # EVERY scoring mode (pallas_dp module docstring) — enforce it here
@@ -397,8 +408,12 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     # round-3 chained kernel first (2x the v1 dirs throughput, measured
     # 70.4 vs 35.0 GCUPS NW / 55.3 vs 35.1 SW at B>=128 L=512); the v1
     # kernel remains for the modes/widths it doesn't cover
-    v2 = _v2_scores_eligible(sc, inline, None if inline else subK, la, lb)
-    if v2 is not None and lb <= 2048:
+    v2 = _v2_scores_eligible(sc, inline, None if inline else subK, la,
+                             lb, is_sw=is_sw)
+    # round-4 envelope lift: v2 dirs measured working at 4096 lanes on
+    # TPU v5e (corner == scores kernel, traceback exact); 8192 compiles
+    # only at K=8 with a ~9min Mosaic compile — not shipped, v1 covers it
+    if v2 is not None and lb <= 4096:
         fast = _pallas_dirs_fill2(sc, seqs_a, seqs_b, ac, bc, na, nb,
                                   is_sw=is_sw, mins=mins, la=la, lb=lb,
                                   lut_np=v2,
@@ -468,7 +483,7 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
         unpack_pair_plane2,
     )
 
-    unroll = _pallas_unroll(16 if lb >= 512 else 8)
+    unroll = _pallas_unroll(16)
     geo = chain_geometry(len(seqs_a), la, lb, K=unroll, state_bytes=140)
     try:
         dirs, mdev, corner = pallas_fill_dirs2(
@@ -478,7 +493,9 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
             match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
             subK=None if subK is None else jnp.asarray(subK),
             interpret=_pallas_mode() == "interpret", unroll=unroll,
-            nsg=sc.no_start_gap_penalty, lut_np=lut_np,
+            nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+            nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+            nmm=sc.no_mismatches, lut_np=lut_np,
         )
         # the dirs tensor is NEVER eagerly fetched (a 51MB bucket fetch
         # measured 2.9s through the dev tunnel): NW walks on device, SW

@@ -94,7 +94,7 @@ def lut2_eligible(sc, subK) -> int:
     return lut2_planes(int(subK.shape[0]))
 
 
-def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0, state_bytes=60):
+def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60):
     """Lane/chain geometry: P = lane-packed pairs per row (interleaved),
     C pairs chained along a per slot, BS sublanes per grid row-chunk.
     ``chain``/``bs`` 0 = auto.  W >= LBt is required so at most one
@@ -103,13 +103,21 @@ def chain_geometry(B, LA, LBt, *, K=8, chain=0, bs=0, state_bytes=60):
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1
     LN = P * LBt
-    W = -(-max(LA + 1, LBt) // K) * K
+    # one extra K-block of a-pad per chunk: guarantees W - na >= K + 1 for
+    # every pair, so the per-BLOCK early updates of the b-code / capture-
+    # diagonal planes in the kernels can never clobber a value still read
+    # in the same block (pair c-1's last real-code read or capture is
+    # always >= K diagonals before pair c's transition band hits the lane)
+    W = -(-max(LA + 1, LBt) // K) * K + K
     if chain <= 0:
-        # C=4 with BS=64 measured best at B=256 L=512 (99.5 GCUPS vs
-        # 97.6 at C=2/BS=128 and 86.9 at C=8/BS=32, same process); short
-        # rows (P>1) top out at C=2.  Deeper chains shrink the sublane
-        # chunk below the issue-efficiency knee.
-        chain = max(1, min(4, B // (P * 32)))
+        # Round-4 retune (interleaved same-process ranking, B=256): at
+        # LBt=512, C=4/BS=64 stays best; short rows flip — the chain's
+        # transition band is grid-overhead-bound there, so LBt<=128 runs
+        # unchained (C=1: 55.7 vs 43.7 GCUPS at L=128) and LBt<=256 at
+        # C=2 (77.5 vs 67.9-71.2).  Deeper chains shrink the sublane
+        # chunk below the issue-efficiency knee (C=8/BS=32: 84 vs 104).
+        cap = 1 if LBt <= 128 else (2 if LBt <= 256 else 4)
+        chain = max(1, min(cap, B // (P * 32)))
     C = chain
     if bs <= 0:
         need = -(-B // (P * C))
@@ -151,19 +159,32 @@ def _lut_tree(plv, avv, lut_np):
     return byte - 0x80
 
 
-def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
-             cf32):
+def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
+             ngb, lut_np, cf32):
     """Grid (nB, DK); diagonals d = t*K + 1 .. t*K + K per step t.
 
     Scratch state (all (BS, LN)): SG1 = sh(G(d-1)), SG2 = sh(G(d-2)),
     SE = sh(E'(d-1)), G_u/F_u unshifted, acc0/acc1 (NW: parity capture
     planes; SW: snapshot plane / running accumulator), av rolling
     a-codes, blv per-lane b-codes (eq mode) or pls packed LUT planes,
-    cdv0/cdv1 per-lane capture diagonals (NW)."""
+    cdv0/cdv1 per-lane capture diagonals (NW).
+
+    ``neg`` (free END gaps, NW only) switches the Ga updates on each
+    pair's last a-column and the Gb updates on its last b-row to the
+    penalty-free closed forms (alignment.c:121-155 x==n / y==m
+    branches): in drift space a zero-cost true extension ADDS -ge per
+    step, so ê = sh(Ĥ(d-1)) - ge = SG1 - (go + ge) on the sweeping
+    x==na lane (mask from the streamed per-lane na plane) and
+    f̂ = G_u - (go + ge) on the y==nb-1 lane (mask: cdv != 0 — the
+    capture-diagonal plane is nonzero exactly there)."""
     lut = lut_np > 0
+    ncol = neg or nga  # modes needing the rolling x==na diagonal plane
     if is_sw:
         (aw_ref, bl_ref, scal_ref, out_ref,
          sg1, sg2, se, gu, fu, acc0, acc1, av, bls) = refs
+    elif ncol:
+        (aw_ref, bl_ref, cd_ref, capg_ref, nl_ref, scal_ref, out_ref,
+         sg1, sg2, se, gu, fu, acc0, acc1, av, bls, cdv, ncv) = refs
     else:
         (aw_ref, bl_ref, cd_ref, capg_ref, scal_ref, out_ref,
          sg1, sg2, se, gu, fu, acc0, acc1, av, bls, cdv) = refs
@@ -215,6 +236,8 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
         sg2[...] = ninf
         if not is_sw:
             cdv[...] = cd_ref[0, 0]
+            if ncol:
+                ncv[...] = nl_ref[0, 0]
         acc0[...] = ninf
         acc1[...] = ninf
 
@@ -227,10 +250,39 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
         blvv = bls[...]
         if trans:
             bin_ = bl_ref[0, 0]
-        if cap or (trans and not is_sw):
+        if cap or ncol or ngb or (trans and not is_sw):
             cdvv = cdv[...]
+            if ncol:
+                ncvv = ncv[...]
             if trans:
                 cdin = cd_ref[0, 0]
+        if trans:
+            # per-BLOCK early updates (safe because chain_geometry pads W
+            # by one K-block): the per-lane b-codes and NW capture
+            # diagonals switch once per block instead of once per
+            # diagonal.  Pre-transition reads within the block are benign
+            # — the entering a-codes there are already PADA (W - na >= K
+            # + 1), so eq-mode ss is MM either way, the lut bytes feed
+            # values suppressed at the transition, and pair c-1's capture
+            # can never share a block with pair c's band hitting its lane.
+            lo = jnp.asarray(d0 - 1 - cW, i32)
+            lov = lo.astype(f32) if cf32 else lo
+            band = (y0c >= lov) & (y0c <= lov + K - 1)
+            if lut:
+                blvv = jnp.where(band[None], bin_, blvv)
+            else:
+                blvv = jnp.where(band, bin_, blvv)
+            if not is_sw:
+                cdvv = jnp.where(band, cdin, cdvv)
+                if ncol:
+                    ncvv = jnp.where(band, nl_ref[0, 0], ncvv)
+        if neg or ngb:
+            # pre-transition cells in a transition block are pair c-1
+            # PADs (the W hazard margin), so the band-updated rolling
+            # planes are exact for the whole block
+            negb = cdvv != 0  # cd plane is nonzero exactly at lane nb-1
+        if neg:
+            gog = go + ge
         for k in range(K):
             d = d0 + k
             if lut:
@@ -250,34 +302,61 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
                 e_new = jnp.maximum(e_new, sd)
                 f_new = jnp.maximum(f_new, sd)
             m_arg = SG2 + ss
+            if ncol:
+                dfn = jnp.asarray(d, i32)
+                if cf32:
+                    dfn = dfn.astype(f32)
+                negcol = ncvv == dfn
+            if neg:
+                # free-end-gap closed forms on the last a-column /
+                # b-row (alignment.c:121-155): Ga(y, na) = H(y-1, na),
+                # Gb(nb, x) = H(nb, x-1) — in drift space -ge per step
+                e_new = jnp.where(negcol, SG1 - gog, e_new)
+                f_new = jnp.where(negb, G_u - gog, f_new)
+            if nga and not trans:
+                # no_gaps_in_a: the Ga channel is unreachable except on
+                # the last a-column (end-gap exception,
+                # alignment.c:121-137); x==0 boundary cells only occur
+                # in trans blocks (kept there via the at_t mask)
+                e_new = jnp.where(negcol, e_new, NEG)
+            if ngb:
+                # no_gaps_in_b: Gb unreachable except on the last b-row;
+                # the trans f-cleanse writes NEG at x==0 lanes anyway
+                f_new = jnp.where(negb, f_new, NEG)
+            if trans:
+                # Boundary injection, restructured from three per-channel
+                # selects (g/e/f) to at most two:
+                # * default NW: e needs NO injection — it propagates
+                #   NATURALLY: lane y0-1 held (g, e) = (rc+go, rc) at
+                #   d-1 (induction; base = the d == cx*W corner fill), so
+                #   e_new[y0] = max(rc+go, rc) = rc = the old e_sel.
+                # * nsg/SW: the boundary e closed form is diagonal-
+                #   dependent (sd = -ge*d), one step above the natural
+                #   value — inject it.
+                # * m/f garbage from the drained pair c-1 band is
+                #   suppressed by ONE select on h below (h := e at the
+                #   transition lane, so g = e + go = the old g_sel); the
+                #   f STATE is cleansed to NEG so it cannot leak into
+                #   pair c's x'=1 cells (SW's old f_sel = sd is restored
+                #   one diagonal later by the sd floor — exact).
+                att_s = jnp.asarray(d - 1 - cW, i32)
+                at_t = y0c == (att_s.astype(f32) if cf32 else att_s)
+                if nga:
+                    # keep the x==0 boundary run (unconditional in the
+                    # reference, alignment.c:59-81) and the last column
+                    e_new = jnp.where(negcol | at_t, e_new, NEG)
+                if is_sw or nsg:
+                    e_new = jnp.where(at_t, sdrift(d), e_new)
+                f_new = jnp.where(at_t, NEG, f_new)
             h_new = jnp.maximum(m_arg, jnp.maximum(e_new, f_new))
+            if trans:
+                h_new = jnp.where(at_t, e_new, h_new)
             if is_sw:
                 a1v = jnp.maximum(a1v - ge, m_arg)
             g_new = h_new + go
-            if trans:
-                att_s = jnp.asarray(d - 1 - cW, i32)
-                at_t = y0c == (att_s.astype(f32) if cf32 else att_s)
-                if is_sw:
-                    sd = sdrift(d)
-                    g_sel, e_sel, f_sel = sd + go, sd, sd
-                elif nsg:
-                    sd = sdrift(d)
-                    g_sel, e_sel, f_sel = sd + go, sd, NEG
-                else:
-                    rc = go - ge * jnp.float32(cW)
-                    g_sel, e_sel, f_sel = rc + go, rc, NEG
-                g_new = jnp.where(at_t, g_sel, g_new)
-                e_new = jnp.where(at_t, e_sel, e_new)
-                f_new = jnp.where(at_t, f_sel, f_new)
-                if lut:
-                    blvv = jnp.where(at_t[None], bin_, blvv)
-                else:
-                    blvv = jnp.where(at_t, bin_, blvv)
-                if is_sw:
-                    a0v = jnp.where(at_t, a1v, a0v)  # snapshot pair c-1
-                    a1v = jnp.where(at_t, NEG, a1v)  # reset for pair c
-                else:
-                    cdvv = jnp.where(at_t, cdin, cdvv)
+            if trans and is_sw:
+                a0v = jnp.where(at_t, a1v, a0v)  # snapshot pair c-1
+                a1v = jnp.where(at_t, NEG, a1v)  # reset for pair c
             if cap:
                 df = jnp.asarray(d, i32)
                 if cf32:
@@ -312,6 +391,8 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, lut_np,
         bls[...] = blvv
         if trans and not is_sw:
             cdv[...] = cdvv
+            if ncol:
+                ncv[...] = ncvv
 
     # NW cdv transitions must run even in blocks with no capture hit, and
     # captures can fire outside the band — four specializations, each
@@ -362,7 +443,7 @@ def _pack_ilv2(v, nB, BS, P, C, LBt):
 
 
 def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
-            cf32=True):
+            cf32=True, neg=False):
     """jnp staging for :func:`pallas_scores2` (runs under jit): chained
     a-windows, per-chunk b/capture blocks, capture-gate table."""
     B, LA = ac.shape
@@ -425,7 +506,23 @@ def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
         rows = jnp.arange(Bp, dtype=jnp.int32) // (BS * P * C)
         tcd = jnp.clip((cvals - 1) // K, 0, DK - 1)
         capg = jnp.zeros((nB, DK), jnp.int32).at[rows, tcd].set(1)
-    return dict(aw=aw, bl=bl, cd=cd, capg=capg, Bp=Bp, na=na, nb=nb)
+    nl = None
+    if neg:
+        # per-lane ABSOLUTE diagonal of the lane's x==na cell for the
+        # free-end-gap column mask: c*W + na + y0 + 1.  Rolled into a
+        # scratch plane at chunk transitions exactly like the capture
+        # diagonals, so the mask stays correct when a pair's free column
+        # crosses into the next chunk's blocks (na + nb > W) or the
+        # trailing tail blocks (where the block's own c exceeds C-1)
+        mdt = jnp.float32 if cf32 else jnp.int32
+        cidx2 = jnp.arange(Bp, dtype=jnp.int32) % C
+        base = cidx2 * W + na + 1
+        nlm = (base[:, None]
+               + jax.lax.broadcasted_iota(jnp.int32, (Bp, LBt), 1)
+               ).astype(mdt)
+        nl = _pack_ilv2(nlm, nB, BS, P, C, LBt)
+    return dict(aw=aw, bl=bl, cd=cd, capg=capg, nl=nl, Bp=Bp, na=na,
+                nb=nb)
 
 
 def _bake_packed_planes(subK, bc, nb, nB, BS, P, C, LBt, lut_np):
@@ -452,13 +549,16 @@ def _bake_packed_planes(subK, bc, nb, nB, BS, P, C, LBt, lut_np):
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "interpret", "unroll", "bs", "chain",
-                     "nsg", "lut_np", "codes_f32"),
+                     "nsg", "neg", "nga", "ngb", "nmm", "lut_np",
+                     "codes_f32"),
 )
 def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
                    is_sw: bool, match=None, mismatch=None,
                    subK=None,
-                   interpret: bool = False, unroll: int = 8,
+                   interpret: bool = False, unroll: int = 16,
                    bs: int = 0, chain: int = 0, nsg: bool = False,
+                   neg: bool = False, nga: bool = False,
+                   ngb: bool = False, nmm: bool = False,
                    lut_np: int = 0, codes_f32=None):
     """Batched optimal scores (NW corner / SW best) via the chained v2
     kernel.  ``ac``/``bc`` are ``dp.compact_inputs_mm`` codes (equality
@@ -477,8 +577,11 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
     m = geo["m"]
     if codes_f32 is None:
         codes_f32 = False  # same-process A/B: int32 codes >= f32 everywhere
+    assert not ((neg or nga or ngb) and is_sw), \
+        "free-end-gap / no-gaps modes: NW only on the v2 path"
+    assert not (nmm and lut_np), "no_mismatches needs equality scoring"
     st = _stage2(ac, bc, na, nb, geo, is_sw=is_sw, subK=subK,
-                 lut_np=lut_np, cf32=codes_f32)
+                 lut_np=lut_np, cf32=codes_f32, neg=neg or nga)
     f32 = jnp.float32
     go = jnp.asarray(gap_open, f32)
     ge = jnp.asarray(gap_extend, f32)
@@ -487,12 +590,19 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
         MM = jnp.zeros((), f32)
     else:
         MT = jnp.asarray(match, f32) - 2.0 * ge - go
-        MM = jnp.asarray(mismatch, f32) - 2.0 * ge - go
+        # no_mismatches (alignment.c:101-104): the mismatch M-candidate
+        # is the NEG_INF sentinel in the reference; POISON plays that
+        # role in f32 drift space — it loses every max and never reaches
+        # a READ value (a gap-only path always exists, so the corner is
+        # real; tainted interior cells are never walked)
+        MM = (jnp.asarray(POISON, f32) if nmm
+              else jnp.asarray(mismatch, f32) - 2.0 * ge - go)
     scal = jnp.stack([go, ge, MT, MM])
 
     kernel = functools.partial(
         _kernel2, is_sw=is_sw, BS=BS, LBt=LBt, P=P, K=K, W=W, m=m,
-        bb=geo["bb"], C=C, nsg=nsg, lut_np=lut_np, cf32=codes_f32)
+        bb=geo["bb"], C=C, nsg=nsg, neg=neg, nga=nga, ngb=ngb,
+        lut_np=lut_np, cf32=codes_f32)
     slot_map = (lambda i, t: (i, jnp.minimum(t // m, SLOTS - 1), 0, 0, 0))
     if lut_np > 0:
         bl_spec = pl.BlockSpec(
@@ -516,6 +626,11 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
             lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args += [st["cd"], st["capg"]]
+        if neg or nga:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, BS, LN),
+                lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+            args.append(st["nl"])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     args.append(scal)
 
@@ -525,6 +640,8 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
         + [pltpu.VMEM((BS, LN), avdt), bl_scratch]
     if not is_sw:
         scratch += [pltpu.VMEM((BS, LN), mdt)]
+        if neg or nga:
+            scratch += [pltpu.VMEM((BS, LN), mdt)]
 
     out = pl.pallas_call(
         kernel,
@@ -534,6 +651,8 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
         out_shape=jax.ShapeDtypeStruct((nB, SLOTS, 2, BS, LN), f32),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
 
     Bp = st["Bp"]
@@ -574,7 +693,7 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
 
 
 def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
-                  lut_np, cf32):
+                  neg, nga, ngb, lut_np, cf32):
     """Chained direction-code fill: three-matrix recurrence in drifted
     space emitting v1-compatible packed 2-bit codes per diagonal (and the
     undrifted M matrix for SW candidates).  Same chunk/transition/capture
@@ -583,10 +702,16 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
     same -ge*d term (alignment.c:311-327 tie procedure, GAP_A > GAP_B >
     MATCH priority)."""
     lut = lut_np > 0
+    ncol = neg or nga
     if is_sw:
         (aw_ref, bl_ref, scal_ref, dirs_ref, m_ref,
          s_m, s_ga, s_gb, h_m, h_ga, h_gb, g_m, g_ga, g_gb,
          av, bls) = refs
+    elif ncol:
+        (aw_ref, bl_ref, cd_ref, capg_ref, nl_ref, scal_ref,
+         dirs_ref, m_ref, corn_ref,
+         s_m, s_ga, s_gb, h_m, h_ga, h_gb, g_m, g_ga, g_gb,
+         av, bls, cdv, cp0, cp1, cp2, cp3, cp4, cp5, ncv) = refs
     else:
         (aw_ref, bl_ref, cd_ref, capg_ref, scal_ref,
          dirs_ref, m_ref, corn_ref,
@@ -639,6 +764,8 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
         g_gb[...] = ninf
         if not is_sw:
             cdv[...] = cd_ref[0, 0]
+            if ncol:
+                ncv[...] = nl_ref[0, 0]
             for r in (cp0, cp1, cp2, cp3, cp4, cp5):
                 r[...] = ninf
 
@@ -657,14 +784,32 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
         blvv = bls[...]
         if trans:
             bin_ = bl_ref[0, 0]
-        if cap or (trans and not is_sw):
+        if cap or ncol or ngb or (trans and not is_sw):
             cdvv = cdv[...]
+            if ncol:
+                ncvv = ncv[...]
             if trans:
                 cdin = cd_ref[0, 0]
         if cap:
             c0m, c1m = cp0[...], cp1[...]
             c0a, c1a = cp2[...], cp3[...]
             c0b, c1b = cp4[...], cp5[...]
+        if trans:
+            # per-BLOCK early updates — see _kernel2; identical safety
+            # argument (W carries a +K hazard margin)
+            lo = jnp.asarray(d0 - 1 - cW, i32)
+            lov = lo.astype(f32) if cf32 else lo
+            band = (y0c >= lov) & (y0c <= lov + K - 1)
+            if lut:
+                blvv = jnp.where(band[None], bin_, blvv)
+            else:
+                blvv = jnp.where(band, bin_, blvv)
+            if not is_sw:
+                cdvv = jnp.where(band, cdin, cdvv)
+                if ncol:
+                    ncvv = jnp.where(band, nl_ref[0, 0], ncvv)
+        if neg or ngb:
+            negb = cdvv != 0  # nonzero exactly at each pair's lane nb-1
         for k in range(K):
             d = d0 + k
             if lut:
@@ -687,11 +832,38 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
             s1 = m1s + go
             s2 = ga1s
             s3 = gb1s + go
+            if ncol:
+                dfn = jnp.asarray(d, i32)
+                if cf32:
+                    dfn = dfn.astype(f32)
+                negcol = ncvv == dfn
+            if neg:
+                # free-end-gap closed forms (alignment.c:121-155,
+                # 265-268): on the x==na column Ga's candidates carry NO
+                # penalty (which adds -ge per step in drift space), on
+                # the y==nb-1 row Gb's likewise.  Substituting the
+                # candidates THEMSELVES (pred - ge) makes both the value
+                # max AND the standard tie-test pick below exact for the
+                # free cells — no separate free-mode max tree or pick
+                s1 = jnp.where(negcol, m1s - ge, s1)
+                s2 = jnp.where(negcol, ga1s - ge, s2)
+                s3 = jnp.where(negcol, gb1s - ge, s3)
             ga_v = jnp.maximum(jnp.maximum(s1, s2), s3)
+            if nga:
+                # no_gaps_in_a: Ga unreachable off the last a-column
+                # (alignment.c:121-137 guard + the x==0 boundary run,
+                # re-injected below in trans blocks)
+                ga_v = jnp.where(negcol, ga_v, NEG)
             t1 = pm1 + go
             t2 = pga1 + go
             t3 = pgb1
+            if neg:
+                t1 = jnp.where(negb, pm1 - ge, t1)
+                t2 = jnp.where(negb, pga1 - ge, t2)
+                t3 = jnp.where(negb, pgb1 - ge, t3)
             gb_v = jnp.maximum(jnp.maximum(t1, t2), t3)
+            if ngb:
+                gb_v = jnp.where(negb, gb_v, NEG)
             if is_sw:
                 ga_v = jnp.maximum(ga_v, sd)
                 gb_v = jnp.maximum(gb_v, sd)
@@ -711,6 +883,12 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
                 m_ref[0, 0, k] = (Mv + ge * jnp.asarray(d, i32)
                                   .astype(f32)).astype(jnp.int32)
             if trans:
+                # Boundary injections (all three channels — unlike
+                # _kernel2, ga cannot propagate naturally here: the
+                # corner fill is the all-zero cell sdf, one |go| above
+                # the rc gap-run base, so lane 0's natural value would
+                # make opens from the corner free); only the blv/cdv
+                # per-diagonal selects were hoisted to block level above
                 att_s = jnp.asarray(d - 1 - cW, i32)
                 at_t = y0c == (att_s.astype(f32) if cf32 else att_s)
                 if is_sw:
@@ -725,12 +903,6 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
                 Mv = jnp.where(at_t, mv_sel, Mv)
                 ga_v = jnp.where(at_t, ga_sel, ga_v)
                 gb_v = jnp.where(at_t, gb_sel, gb_v)
-                if lut:
-                    blvv = jnp.where(at_t[None], bin_, blvv)
-                else:
-                    blvv = jnp.where(at_t, bin_, blvv)
-                if not is_sw:
-                    cdvv = jnp.where(at_t, cdin, cdvv)
             if cap:
                 df = jnp.asarray(d, i32)
                 if cf32:
@@ -775,6 +947,8 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
         bls[...] = blvv
         if trans and not is_sw:
             cdv[...] = cdvv
+            if ncol:
+                ncv[...] = ncvv
         if cap:
             cp0[...], cp1[...] = c0m, c1m
             cp2[...], cp3[...] = c0a, c1a
@@ -821,13 +995,16 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
 @functools.partial(
     jax.jit,
     static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "chain", "nsg", "lut_np", "codes_f32"),
+                     "chain", "nsg", "neg", "nga", "ngb", "nmm",
+                     "lut_np", "codes_f32"),
 )
 def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
                       is_sw: bool, emit_m: bool, match=None,
                       mismatch=None, subK=None,
-                      interpret: bool = False, unroll: int = 8,
+                      interpret: bool = False, unroll: int = 16,
                       bs: int = 0, chain: int = 0, nsg: bool = False,
+                      neg: bool = False, nga: bool = False,
+                      ngb: bool = False, nmm: bool = False,
                       lut_np: int = 0, codes_f32=None):
     """Chained batched full fill with packed direction codes (v2).
 
@@ -848,8 +1025,11 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
     m = geo["m"]
     if codes_f32 is None:
         codes_f32 = False
+    assert not ((neg or nga or ngb) and is_sw), \
+        "free-end-gap / no-gaps modes: NW only on the v2 path"
+    assert not (nmm and lut_np), "no_mismatches needs equality scoring"
     st = _stage2(ac, bc, na, nb, geo, is_sw=is_sw, subK=subK,
-                 lut_np=lut_np, cf32=codes_f32)
+                 lut_np=lut_np, cf32=codes_f32, neg=neg or nga)
     f32 = jnp.float32
     go = jnp.asarray(gap_open, f32)
     ge = jnp.asarray(gap_extend, f32)
@@ -858,13 +1038,17 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
         MM = jnp.zeros((), f32)
     else:
         MT = jnp.asarray(match, f32) - 2.0 * ge
-        MM = jnp.asarray(mismatch, f32) - 2.0 * ge
+        # no_mismatches: POISON plays the reference's NEG_INF sentinel
+        # (see pallas_scores2) — tainted cells never win a max and their
+        # codes are never walked
+        MM = (jnp.asarray(POISON, f32) if nmm
+              else jnp.asarray(mismatch, f32) - 2.0 * ge)
     scal = jnp.stack([go, ge, MT, MM])
 
     kernel = functools.partial(
         _dirs_kernel2, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P,
-        K=K, W=W, m=m, bb=geo["bb"], C=C, nsg=nsg, lut_np=lut_np,
-        cf32=codes_f32)
+        K=K, W=W, m=m, bb=geo["bb"], C=C, nsg=nsg, neg=neg, nga=nga,
+        ngb=ngb, lut_np=lut_np, cf32=codes_f32)
     if lut_np > 0:
         bl_spec = pl.BlockSpec(
             (1, 1, lut_np, BS, LN),
@@ -887,6 +1071,11 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
             lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args += [st["cd"], st["capg"]]
+        if neg or nga:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, BS, LN),
+                lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+            args.append(st["nl"])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     args.append(scal)
 
@@ -914,6 +1103,8 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
             jax.ShapeDtypeStruct((nB, SLOTS, 6, BS, LN), f32))
         scratch += [pltpu.VMEM((BS, LN), mdt)] \
             + [pltpu.VMEM((BS, LN), f32)] * 6
+        if neg or nga:
+            scratch += [pltpu.VMEM((BS, LN), mdt)]
 
     outs = pl.pallas_call(
         kernel,
@@ -923,6 +1114,8 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(*args)
     if is_sw:
         dirs, mm_ = outs

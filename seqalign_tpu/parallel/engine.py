@@ -199,20 +199,22 @@ def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
     else:
         ac, bc, subK, _ = dp.compact_inputs(sc, a, b)
     lut_np = _v2_scores_eligible(sc, inline, None if inline else subK,
-                                 la, lb)
+                                 la, lb, is_sw=is_sw)
     if lut_np is None:
         return None
     go = np.int32(sc.gap_open)
     ge = np.int32(sc.gap_extend)
     interp = _interp()
     nsg = sc.no_start_gap_penalty
+    neg = sc.no_end_gap_penalty
 
     def local_fill(acs, bcs, nas, nbs, subKs):
         return pallas_scores2(
             acs, bcs, nas, nbs, go, ge, is_sw=is_sw,
             match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
             subK=subKs if lut_np > 0 else None, interpret=interp,
-            nsg=nsg, lut_np=lut_np)
+            nsg=nsg, neg=neg, nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+            nmm=sc.no_mismatches, lut_np=lut_np)
 
     axis = mesh.axis_names[0]
     fn = jax.jit(shard_map(
@@ -233,7 +235,7 @@ def _interp() -> bool:
 
 def make_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
                           lut_np: int, axis: str = "pairs",
-                          unroll: int = 8):
+                          unroll: int = 16):
     """Sharded full-traceback fill through the round-3 chained Pallas
     kernel (ops/pallas_dp2) — each device runs the single-chip kernel on
     its pair shard, so multi-chip traceback batches run at per-chip
@@ -251,13 +253,15 @@ def make_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     ge = np.int32(sc.gap_extend)
     interp = _interp()
     nsg = sc.no_start_gap_penalty
+    neg = sc.no_end_gap_penalty
 
     def local_fill(ac, bc, na, nb, subK):
         dirs, m, corner = pallas_fill_dirs2(
             ac, bc, na, nb, go, ge, is_sw=is_sw, emit_m=is_sw,
             match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
             subK=subK if lut_np > 0 else None, interpret=interp,
-            unroll=unroll, nsg=nsg, lut_np=lut_np,
+            unroll=unroll, nsg=nsg, neg=neg, nga=sc.no_gaps_in_a,
+            ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches, lut_np=lut_np,
         )
         if m is None:
             m = jnp.zeros((1,), jnp.int32)
@@ -300,12 +304,12 @@ def _v2_align_sharded(sc, seqs_a, seqs_b, a, b, na, nb, n, *, is_sw, mesh):
     else:
         ac, bc, subK, _ = dp.compact_inputs(sc, a, b)
     lut_np = _v2_scores_eligible(sc, inline, None if inline else subK,
-                                 la, lb)
+                                 la, lb, is_sw=is_sw)
     if lut_np is None:
         return None
     nd = mesh.devices.size
     Bl = ac.shape[0] // nd  # per-shard batch (already padded to nd)
-    unroll = 16 if lb >= 512 else 8
+    unroll = 16  # round-4 retune: K=16 best at every measured length
     geo = chain_geometry(Bl, la, lb, K=unroll, state_bytes=140)
     Bp_l = geo["nB"] * geo["BS"] * geo["P"] * geo["C"]
     fn = make_sharded_fill_fn2(sc, mesh, is_sw=is_sw, lut_np=lut_np,

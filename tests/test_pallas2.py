@@ -2,6 +2,8 @@
 against the v1 XLA fill across modes, chain counts, and ragged batches,
 plus the aligners dispatch gate."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -44,6 +46,32 @@ CASES = [
      DNA, 10, 48, 48, 3),
     ("sw_zero_gaps", lambda: ScoringConfig(2, -1, 0, 0), True, False,
      DNA, 10, 48, 48, 3),
+    # round 4: free-END-gap mode on the chained kernel, incl. lengths
+    # whose free column crosses into the next chunk's blocks (na+nb > W
+    # — the rolling ncv plane regression) and nsg+neg combined
+    ("nw_neg", lambda: ScoringConfig(1, -2, -4, -1,
+                                     no_end_gap_penalty=True),
+     False, False, DNA, 10, 56, 60, 2),
+    ("nw_neg_lut", lambda: dataclasses.replace(
+        scoring_system_BLOSUM62(), no_end_gap_penalty=True),
+     False, True, PROT, 8, 56, 60, 2),
+    ("nw_neg_nsg", lambda: ScoringConfig(1, -2, -4, -1,
+                                         no_end_gap_penalty=True,
+                                         no_start_gap_penalty=True),
+     False, False, DNA, 10, 56, 60, 3),
+    # round 4: constrained modes on the chained kernel (NW)
+    ("nw_nga", lambda: ScoringConfig(1, -2, -4, -1, no_gaps_in_a=True),
+     False, False, DNA, 10, 56, 60, 2),
+    ("nw_ngb", lambda: ScoringConfig(1, -2, -4, -1, no_gaps_in_b=True),
+     False, False, DNA, 10, 56, 60, 2),
+    ("nw_nmm", lambda: ScoringConfig(1, -2, -4, -1, no_mismatches=True),
+     False, False, DNA, 10, 48, 48, 3),
+    ("sw_nmm", lambda: ScoringConfig(2, -2, -4, -1, no_mismatches=True),
+     True, False, DNA, 10, 48, 48, 3),
+    ("nw_nga_neg", lambda: ScoringConfig(1, -2, -4, -1,
+                                         no_gaps_in_a=True,
+                                         no_end_gap_penalty=True),
+     False, False, DNA, 8, 56, 60, 2),
 ]
 
 
@@ -82,7 +110,9 @@ def test_v2_scores_vs_xla(case):
         jnp.asarray(nb), np.int32(sc.gap_open), np.int32(sc.gap_extend),
         is_sw=is_sw, match=match, mismatch=mismatch, subK=subj,
         interpret=True, chain=chain, bs=8,
-        nsg=sc.no_start_gap_penalty, lut_np=lut_np))
+        nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+        nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+        nmm=sc.no_mismatches, lut_np=lut_np))
     out, _, _ = dp.fill_batch(sc, seqs_a, seqs_b, is_sw=is_sw,
                               emit_dirs=False, pow2_pad=True,
                               validate=False)
@@ -95,9 +125,23 @@ def test_v2_gate_rejects_unsupported_modes():
     from seqalign_tpu.aligners import _v2_scores_eligible
 
     neg = ScoringConfig(1, -2, -4, -1, no_end_gap_penalty=True)
-    assert _v2_scores_eligible(neg, True, None, 128, 128) is None
+    # round 4: free END gaps ride v2 for NW, stay v1 for SW
+    assert _v2_scores_eligible(neg, True, None, 128, 128) == 0
+    assert _v2_scores_eligible(neg, True, None, 128, 128,
+                               is_sw=True) is None
+    pos = ScoringConfig(2, -3, 1, -1)  # gap_open > 0: G-fold invalid
+    assert _v2_scores_eligible(pos, True, None, 128, 128) is None
+    # round 4: single no-gaps flags ride v2 (NW); the BOTH-flags combo
+    # stays on the int32 paths (sentinel-wrap parity)
     nga = ScoringConfig(1, -2, -4, -1, no_gaps_in_a=True)
-    assert _v2_scores_eligible(nga, True, None, 128, 128) is None
+    assert _v2_scores_eligible(nga, True, None, 128, 128) == 0
+    both = ScoringConfig(1, -2, -4, -1, no_gaps_in_a=True,
+                         no_gaps_in_b=True)
+    assert _v2_scores_eligible(both, True, None, 128, 128) is None
+    nmm = ScoringConfig(1, -2, -4, -1, no_mismatches=True)
+    assert _v2_scores_eligible(nmm, True, None, 128, 128) == 0
+    assert _v2_scores_eligible(nmm, False, np.zeros((8, 8), np.int32),
+                               128, 128) is None
     ok = scoring_system_default()
     assert _v2_scores_eligible(ok, True, None, 128, 128) == 0
     # large-alphabet matrix -> packed planes
@@ -140,6 +184,17 @@ DIRS_CASES = [
     ("d_nw_nsg", lambda: ScoringConfig(1, -2, -4, -1,
                                        no_start_gap_penalty=True),
      False, False, DNA, 8, 40, 40, 3),
+    ("d_nw_neg", lambda: ScoringConfig(1, -2, -4, -1,
+                                       no_end_gap_penalty=True),
+     False, False, DNA, 8, 56, 60, 2),
+    ("d_nw_neg_nsg", lambda: ScoringConfig(1, -2, -4, -1,
+                                           no_end_gap_penalty=True,
+                                           no_start_gap_penalty=True),
+     False, False, DNA, 8, 56, 60, 3),
+    ("d_nw_nga", lambda: ScoringConfig(1, -2, -4, -1, no_gaps_in_a=True),
+     False, False, DNA, 7, 56, 60, 2),
+    ("d_nw_ngb", lambda: ScoringConfig(1, -2, -4, -1, no_gaps_in_b=True),
+     False, False, DNA, 7, 56, 60, 2),
 ]
 
 
@@ -184,7 +239,9 @@ def test_v2_dirs_end_to_end(case):
         jnp.asarray(nb), np.int32(sc.gap_open), np.int32(sc.gap_extend),
         is_sw=is_sw, emit_m=is_sw, match=match, mismatch=mismatch,
         subK=subj, interpret=True, chain=chain, bs=8,
-        nsg=sc.no_start_gap_penalty, lut_np=lut_np)
+        nsg=sc.no_start_gap_penalty, neg=sc.no_end_gap_penalty,
+        nga=sc.no_gaps_in_a, ngb=sc.no_gaps_in_b,
+        nmm=sc.no_mismatches, lut_np=lut_np)
     dirs_np = np.asarray(dirs)
     if is_sw:
         mnp = np.asarray(pair_planes_device2(mdev, geo, LA, LB, B))

@@ -110,7 +110,7 @@ def main():
     ap.add_argument("--lut", action="store_true")
     ap.add_argument("--chain", type=int, default=0)
     ap.add_argument("--bs", type=int, default=0)
-    ap.add_argument("--unroll", type=int, default=8)
+    ap.add_argument("--unroll", type=int, default=16)
     ap.add_argument("--cf32", type=int, default=-1,
                     help="-1 auto, 0 int codes, 1 f32 codes")
     ap.add_argument("--matrix", action="store_true",
