@@ -13,6 +13,10 @@ test:
 
 bench:
 	$(PY) bench.py
+	$(PY) tools/gen_readme_perf.py
+
+perf-table:
+	$(PY) tools/gen_readme_perf.py
 
 golden: 
 	sh tools/build_reference.sh
