@@ -140,10 +140,16 @@ def _pallas_failed(what: str) -> bool:
     return True
 
 
-def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
+def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                 defer: bool = False):
     """Scores-only batch dispatch: host numpy for small workloads, Pallas
     kernel when eligible, XLA scan otherwise.  Bit-identical results every
-    way (tests/test_pallas.py, tests/test_host_path.py)."""
+    way (tests/test_pallas.py, tests/test_host_path.py).
+
+    ``defer=True`` skips the result fetch on device paths (returns the
+    in-flight jax array): callers streaming many batches overlap the next
+    batch's host IO/pack with this batch's device fill and fetch at the
+    end (parallel/distributed.distributed_score_file)."""
     cells = sum(len(a) * len(b) for a, b in zip(seqs_a, seqs_b))
     if _route(cells, len(seqs_a), None if is_sw else sc) == "host":
         out = np.zeros(len(seqs_a), np.int32)
@@ -208,7 +214,8 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                     neg=sc.no_end_gap_penalty, nga=sc.no_gaps_in_a,
                     ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches, lut_np=v2,
                 )
-                out = np.asarray(out)
+                if not defer:
+                    out = np.asarray(out)
                 _note_dispatch("scores2")
                 return out
             except Exception:
@@ -234,7 +241,8 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
                 # reproduce after the staging rework)
                 unroll=_pallas_unroll(8),
             )
-            out = np.asarray(out)
+            if not defer:
+                out = np.asarray(out)
             _note_dispatch("scores")
             return out
         except Exception:
@@ -244,7 +252,9 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool):
         validate=False,
     )
     if is_sw:
-        return np.asarray(out.best)
+        return out.best if defer else np.asarray(out.best)
+    if defer:
+        return out.corner.max(axis=1)
     return np.asarray(out.corner).max(axis=1)
 
 
@@ -484,7 +494,8 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
     )
 
     unroll = _pallas_unroll(16)
-    geo = chain_geometry(len(seqs_a), la, lb, K=unroll, state_bytes=140)
+    geo = chain_geometry(len(seqs_a), la, lb, K=unroll,
+                         state_bytes=140, lut_np=lut_np)
     try:
         dirs, mdev, corner = pallas_fill_dirs2(
             jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),

@@ -442,15 +442,33 @@ def _next_pow2(n: int) -> int:
 
 
 def pad_batch(seqs, pad_to: Optional[int] = None):
-    """Encode + right-pad a list of sequences into a (B, L) uint8 array."""
-    enc = [encode(s) for s in seqs]
-    L = max((len(e) for e in enc), default=0)
-    L = max(1, L if pad_to is None else max(pad_to, L))
-    out = np.zeros((len(enc), L), dtype=np.uint8)
-    lens = np.zeros((len(enc),), dtype=np.int32)
-    for i, e in enumerate(enc):
-        out[i, : len(e)] = e
-        lens[i] = len(e)
+    """Encode + right-pad a list of sequences into a (B, L) uint8 array.
+
+    Vectorized: one blob join + one masked scatter.  The old per-row
+    python loop cost ~15us/pair of host pack time — more than a chip
+    spends FILLING a 512x512 pair (~2.5us), which would make the host
+    the scaling bottleneck (tools/bench_scaling.py decomposition); this
+    path is ~10x cheaper and keeps the double-buffered stream fed."""
+    n = len(seqs)
+    if n == 0:
+        return (np.zeros((0, max(1, pad_to or 1)), np.uint8),
+                np.zeros((0,), np.int32))
+    if isinstance(seqs[0], str):
+        blob = "".join(seqs).encode("latin-1")
+    elif isinstance(seqs[0], (bytes, bytearray)):
+        blob = b"".join(bytes(s) for s in seqs)
+    else:  # arbitrary code containers: per-element encode fallback
+        enc = [encode(s) if not isinstance(s, np.ndarray)
+               else np.ascontiguousarray(s, np.uint8) for s in seqs]
+        blob = b"".join(e.tobytes() for e in enc)
+    lens = np.fromiter((len(s) for s in seqs), np.int32, count=n)
+    L = max(1, int(lens.max(initial=0)))
+    if pad_to is not None:
+        L = max(pad_to, L)
+    out = np.zeros((n, L), dtype=np.uint8)
+    # row-major boolean assignment consumes the blob in sequence order
+    mask = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
+    out[mask] = np.frombuffer(blob, np.uint8)
     return out, lens
 
 
@@ -460,12 +478,8 @@ def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
     the 256x256 LUTs down to the (Ka, Kb) tables the device actually needs.
     Tables are padded to multiples of ``kpad`` to bound recompilation."""
     _, sub, ismatch, _ = sc.luts()
-    ua = np.unique(a_bytes)
-    ub = np.unique(b_bytes)
-    if len(ua) == 0:
-        ua = np.array([0], np.uint8)
-    if len(ub) == 0:
-        ub = np.array([0], np.uint8)
+    ua = _present_bytes(a_bytes)
+    ub = _present_bytes(b_bytes)
     Ka = -(-len(ua) // kpad) * kpad
     Kb = -(-len(ub) // kpad) * kpad
     mapa = np.zeros(256, np.int32)
@@ -479,6 +493,16 @@ def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
     if np.abs(subK).max(initial=0) >= (1 << 24):
         raise ValueError("substitution scores must be < 2^24 in magnitude")
     return mapa[a_bytes], mapb[b_bytes], subK, imK
+
+
+def _present_bytes(arr: np.ndarray) -> np.ndarray:
+    """Sorted unique byte values via a 256-slot presence scatter — one
+    pass over the data instead of np.unique's sort ([0] for empty input,
+    matching the old behavior)."""
+    present = np.zeros(256, bool)
+    present[arr.reshape(-1)] = True
+    u = np.flatnonzero(present)
+    return u if len(u) else np.array([0], np.int64)
 
 
 def mm_eligible(sc: ScoringConfig) -> bool:
@@ -499,15 +523,16 @@ def compact_inputs_mm(sc: ScoringConfig, a_bytes: np.ndarray,
     regular :func:`compact_inputs` compacts a and b independently — its
     codes must never be compared across sequences.)  Only valid for
     :func:`mm_eligible` configs."""
+    # The only contract consumers rely on is code_a == code_b <=> match
+    # (and codes << PADA = 2^20, the staging pad sentinel): the folded
+    # bytes THEMSELVES satisfy both, so no per-batch alphabet scan or
+    # rank remapping is needed at all — one uint8 LUT gather per side.
+    # (Kernel stagings cast codes to their compute dtype on device;
+    # values <= 255 are exact in every mode including f32.)  This keeps
+    # host pack cost ~2us/pair at L=512 so one host can feed multiple
+    # chips (tools/bench_scaling.py stage decomposition).
     fold = sc.luts()[0]
-    fa = fold[a_bytes]
-    fb = fold[b_bytes]
-    u = np.unique(np.concatenate([fa.ravel(), fb.ravel()]))
-    if len(u) == 0:
-        u = np.array([0], np.uint8)
-    m = np.zeros(256, np.int32)
-    m[u] = np.arange(len(u), dtype=np.int32)
-    return m[fa], m[fb]
+    return fold[a_bytes], fold[b_bytes]
 
 
 def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):

@@ -929,6 +929,11 @@ def _stage_kernel_inputs(ac, bc, na, nb, subK, gap_open, gap_extend, mn, *,
 
     # Remap pad positions to dedicated poison codes so pad-region
     # substitution scores are hugely negative (see module docstring).
+    # Codes may arrive uint8 (compact_inputs_mm returns raw folded
+    # bytes): widen BEFORE injecting the PADA/PADB sentinels (2^20
+    # wraps in uint8).
+    ac = ac.astype(jnp.int32)
+    bc = bc.astype(jnp.int32)
     Ka, Kb = subK.shape
     if inline:
         # no substitution plane STREAM: pad-coded sequences (+ static

@@ -94,11 +94,15 @@ def lut2_eligible(sc, subK) -> int:
     return lut2_planes(int(subK.shape[0]))
 
 
-def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60):
+def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60,
+                   lut_np=0):
     """Lane/chain geometry: P = lane-packed pairs per row (interleaved),
     C pairs chained along a per slot, BS sublanes per grid row-chunk.
     ``chain``/``bs`` 0 = auto.  W >= LBt is required so at most one
-    chunk's transition band is active per diagonal."""
+    chunk's transition band is active per diagonal.  ``lut_np`` (packed-
+    LUT plane count) must match the kernel call so the auto choices
+    account for the extra VMEM planes — callers that unpack the output
+    layout must pass the same value."""
     P = max(1, TL // LBt)
     if P > 1 and (LBt & (LBt - 1)) != 0:
         P = 1
@@ -117,13 +121,21 @@ def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60):
         # C=2 (77.5 vs 67.9-71.2).  Deeper chains shrink the sublane
         # chunk below the issue-efficiency knee (C=8/BS=32: 84 vs 104).
         cap = 1 if LBt <= 128 else (2 if LBt <= 256 else 4)
+        if lut_np >= 4:
+            # big packed-LUT modes (protein alphabets): the lut planes
+            # (lut_np * BS * LN int32) dominate VMEM, so deep chains
+            # force BS below the issue-efficiency knee — C=2/BS=64
+            # measured 47-55 GCUPS vs C=4/BS=32's 44-48 (BLOSUM62 SW,
+            # B=128 L=512, same-process sweep, tools/tune_dirs2.py)
+            cap = min(cap, 2)
         chain = max(1, min(cap, B // (P * 32)))
     C = chain
     if bs <= 0:
         need = -(-B // (P * C))
         # VMEM residency: state planes + in/out blocks per sublane-lane
-        # (scores ~60 B, dirs ~140 B with its 9+ planes and K-deep outs)
-        cap = max(8, (8 << 20) // (LN * state_bytes))
+        # (scores ~60 B, dirs ~140 B with its 9+ planes and K-deep outs;
+        # packed-LUT planes add 4*lut_np B/lane)
+        cap = max(8, (8 << 20) // (LN * (state_bytes + 4 * lut_np)))
         while cap & (cap - 1):
             cap &= cap - 1
         bs = 8
@@ -460,6 +472,12 @@ def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
     na = na.astype(jnp.int32)
     nb = nb.astype(jnp.int32)
 
+    # codes may arrive uint8 (compact_inputs_mm returns raw folded
+    # bytes): widen BEFORE the PADA/PADB sentinel injection (2^20 wraps
+    # in uint8)
+    ac = ac.astype(jnp.int32)
+    bc = bc.astype(jnp.int32)
+
     # poison a-pads, chain C pairs per row: A_chain[r, c*W + j] = a_c[j]
     cdt = jnp.int32 if (lut_np > 0 or not cf32) else jnp.float32
     acp = jnp.where(
@@ -569,7 +587,8 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
     Returns (B,) int32."""
     B, LA = ac.shape
     _, LBt = bc.shape
-    geo = chain_geometry(B, LA, LBt, K=unroll, chain=chain, bs=bs)
+    geo = chain_geometry(B, LA, LBt, K=unroll, chain=chain, bs=bs,
+                         lut_np=lut_np)
     P, C, BS, nB, W, K, DK, SLOTS = (
         geo["P"], geo["C"], geo["BS"], geo["nB"], geo["W"], geo["K"],
         geo["DK"], geo["SLOTS"])
@@ -1017,7 +1036,7 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
     B, LA = ac.shape
     _, LBt = bc.shape
     geo = chain_geometry(B, LA, LBt, K=unroll, chain=chain, bs=bs,
-                         state_bytes=140)
+                         state_bytes=140, lut_np=lut_np)
     P, C, BS, nB, W, K, DK, SLOTS = (
         geo["P"], geo["C"], geo["BS"], geo["nB"], geo["W"], geo["K"],
         geo["DK"], geo["SLOTS"])

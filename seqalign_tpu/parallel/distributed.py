@@ -118,9 +118,12 @@ def distributed_score_file(sc: ScoringConfig, path1: str,
     def flush():
         if not buf_i:
             return
-        s = _scores_auto(sc, buf_a, buf_b, is_sw=is_sw)
+        # defer=True: the batch stays an in-flight device array, so the
+        # next batch's file IO + host pack overlaps this batch's device
+        # fill (double buffering); everything is fetched once at assembly
+        s = _scores_auto(sc, buf_a, buf_b, is_sw=is_sw, defer=True)
         idxs.extend(buf_i)
-        scores.append(np.asarray(s))
+        scores.append(s)
         buf_i.clear()
         buf_a.clear()
         buf_b.clear()
@@ -136,7 +139,8 @@ def distributed_score_file(sc: ScoringConfig, path1: str,
     flush()
     local_idx = np.asarray(idxs, np.int64)
     local_scores = (
-        np.concatenate(scores) if scores else np.zeros(0, np.int32)
+        np.concatenate([np.asarray(s) for s in scores])
+        if scores else np.zeros(0, np.int32)
     )
     if nproc == 1:
         out = np.zeros(len(local_idx), local_scores.dtype)

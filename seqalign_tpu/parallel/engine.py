@@ -154,7 +154,17 @@ def sharded_align_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                         mesh: Optional[Mesh] = None) -> np.ndarray:
     """Host convenience: pad + pad batch to mesh multiple, run, unpad."""
-    mesh = mesh if mesh is not None else make_mesh()
+    dev, n = _score_dispatch(sc, seqs_a, seqs_b, is_sw=is_sw,
+                             mesh=mesh if mesh is not None else make_mesh())
+    return np.asarray(dev)[:n]
+
+
+def _score_dispatch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
+                    mesh: Mesh):
+    """Pack + dispatch one sharded scores batch WITHOUT fetching: returns
+    (device_scores, n).  JAX dispatch is asynchronous, so callers can pack
+    and dispatch the next batch while this one fills (the double-buffered
+    pipeline in :func:`sharded_score_stream`)."""
     n = len(seqs_a)
     nd = mesh.devices.size
     a, na = dp.pad_batch(seqs_a)
@@ -169,13 +179,41 @@ def sharded_score_batch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         nb = np.pad(nb, (0, rem), constant_values=1)
     v2 = _v2_scores_sharded(sc, a, b, na, nb, is_sw=is_sw, mesh=mesh)
     if v2 is not None:
-        return v2[:n]
+        return v2, n
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     fn = make_sharded_score_fn(sc, mesh, is_sw=is_sw)
-    scores = np.asarray(fn(jnp.asarray(ac), jnp.asarray(bc),
-                           jnp.asarray(na), jnp.asarray(nb),
-                           jnp.asarray(subK), jnp.asarray(imK)))
-    return scores[:n]
+    scores = fn(jnp.asarray(ac), jnp.asarray(bc),
+                jnp.asarray(na), jnp.asarray(nb),
+                jnp.asarray(subK), jnp.asarray(imK))
+    return scores, n
+
+
+def sharded_score_stream(sc: ScoringConfig, batches, *, is_sw: bool,
+                         mesh: Optional[Mesh] = None, depth: int = 2):
+    """Double-buffered streaming scorer: ``batches`` yields
+    ``(seqs_a, seqs_b)`` tuples; yields one ``np.ndarray`` of scores per
+    batch, in order.
+
+    Host work (padding, alphabet compaction, shard packing) for batch
+    k+1 .. k+depth-1 overlaps the device fill of batch k: dispatches are
+    asynchronous and the result fetch (`np.asarray`) happens only once
+    ``depth`` batches are in flight.  With host pack ~O(bytes) and the
+    fill ~O(cells), the device never starves for realistic L — the basis
+    of the scaling extrapolation in SCALING.json (the reference streams
+    pairs strictly serially: alignment_cmdline.c:611-622)."""
+    import collections
+
+    mesh = mesh if mesh is not None else make_mesh()
+    inflight = collections.deque()
+    for sa, sb in batches:
+        inflight.append(_score_dispatch(sc, sa, sb, is_sw=is_sw,
+                                        mesh=mesh))
+        if len(inflight) >= depth:
+            dev, n = inflight.popleft()
+            yield np.asarray(dev)[:n]
+    while inflight:
+        dev, n = inflight.popleft()
+        yield np.asarray(dev)[:n]
 
 
 def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
@@ -222,11 +260,11 @@ def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis), check_vma=False,
     ))
-    out = np.asarray(fn(jnp.asarray(ac), jnp.asarray(bc),
-                        jnp.asarray(na), jnp.asarray(nb),
-                        jnp.asarray(subK)))
+    out = fn(jnp.asarray(ac), jnp.asarray(bc),
+             jnp.asarray(na), jnp.asarray(nb),
+             jnp.asarray(subK))
     _note_dispatch("scores2_sharded")
-    return out
+    return out  # device array — callers fetch (np.asarray) when needed
 
 
 def _interp() -> bool:
@@ -310,7 +348,8 @@ def _v2_align_sharded(sc, seqs_a, seqs_b, a, b, na, nb, n, *, is_sw, mesh):
     nd = mesh.devices.size
     Bl = ac.shape[0] // nd  # per-shard batch (already padded to nd)
     unroll = 16  # round-4 retune: K=16 best at every measured length
-    geo = chain_geometry(Bl, la, lb, K=unroll, state_bytes=140)
+    geo = chain_geometry(Bl, la, lb, K=unroll, state_bytes=140,
+                         lut_np=lut_np)
     Bp_l = geo["nB"] * geo["BS"] * geo["P"] * geo["C"]
     fn = make_sharded_fill_fn2(sc, mesh, is_sw=is_sw, lut_np=lut_np,
                                unroll=unroll)

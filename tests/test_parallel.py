@@ -146,3 +146,23 @@ def test_sharded_scores_ragged_batch_rides_v2():
     assert after > before, "ragged batch did not ride the v2 scores kernel"
     want = NeedlemanWunsch(sc).score_batch(sa, sb)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_score_stream_double_buffered():
+    """The streaming scorer must yield per-batch results identical to
+    sharded_score_batch, in order, with multiple batches in flight."""
+    from seqalign_tpu.parallel.engine import sharded_score_stream
+
+    rng = np.random.default_rng(17)
+    sc = scoring_system_default()
+    mesh = make_mesh(8)
+    batches = []
+    for n in (13, 8, 3, 16):  # ragged + exact mesh multiples
+        pairs = _rand_pairs(n, rng)
+        batches.append(([a for a, _ in pairs], [b for _, b in pairs]))
+    got = list(sharded_score_stream(sc, iter(batches), is_sw=False,
+                                    mesh=mesh, depth=3))
+    assert len(got) == len(batches)
+    for (sa, sb), g in zip(batches, got):
+        want = sharded_score_batch(sc, sa, sb, is_sw=False, mesh=mesh)
+        np.testing.assert_array_equal(g, want)
