@@ -258,6 +258,50 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     return np.asarray(out.corner).max(axis=1)
 
 
+def _swap_symmetric(sc: ScoringConfig) -> bool:
+    """True when score(a, b) == score(b, a) exactly, so a pair may be
+    side-swapped for a better device layout: the substitution relation
+    must be symmetric (equality scoring always is; matrix/wildcard
+    configs iff the baked 256x256 LUT is) and the no-gaps flags must not
+    distinguish the sides (gap penalties are side-symmetric in the
+    recurrence, alignment.c:89-167; free start/end gaps apply to row 0
+    and column 0 alike, alignment.c:59-81,122-145)."""
+    if sc.no_gaps_in_a or sc.no_gaps_in_b:
+        return False
+    from .ops import dp
+
+    if dp.mm_eligible(sc):
+        return True
+    sub = sc.luts()[1]
+    return bool(np.array_equal(sub, sub.T))
+
+
+def _scores_bucketed(sc: ScoringConfig, seqs_a, seqs_b, *,
+                     is_sw: bool) -> np.ndarray:
+    """Scores with pow2 length bucketing (mixed-length batches don't pad
+    every pair to the global max — SURVEY §7 hard part 4) and, for
+    symmetric configs, per-pair side canonicalization so the LANE side b
+    is the shorter one: more pairs fit the chained-kernel envelope and
+    lane padding drops (the 1-10kb production regime,
+    BASELINE.json configs[4])."""
+    n = len(seqs_a)
+    if n <= 1:
+        return _scores_auto(sc, seqs_a, seqs_b, is_sw=is_sw)
+    swap_ok = _swap_symmetric(sc)
+    if swap_ok:
+        sa = [a if len(a) >= len(b) else b
+              for a, b in zip(seqs_a, seqs_b)]
+        sb = [b if len(a) >= len(b) else a
+              for a, b in zip(seqs_a, seqs_b)]
+    else:
+        sa, sb = list(seqs_a), list(seqs_b)
+    out = np.zeros(n, np.int32)
+    for key, idx in _buckets(sa, sb):
+        out[idx] = _scores_auto(sc, [sa[i] for i in idx],
+                                [sb[i] for i in idx], is_sw=is_sw)
+    return out
+
+
 def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
                         la: int, lb: int, is_sw: bool = False):
     """Gate for the chained v2 kernels (ops/pallas_dp2): default flags,
@@ -913,8 +957,11 @@ class NeedlemanWunsch:
 
     def score_batch(self, seqs_a, seqs_b) -> np.ndarray:
         """Scores only — no O(n*m) dirs materialization on the device path
-        (Pallas wavefront kernel on TPU when eligible)."""
-        return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=False)
+        (Pallas wavefront kernel on TPU when eligible).  Mixed-length
+        batches are pow2-bucketed, and symmetric configs canonicalize
+        each pair so the lane side is the shorter sequence."""
+        return _scores_bucketed(self.scoring, seqs_a, seqs_b,
+                                is_sw=False)
 
     def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048) -> Alignment:
         """Long-sequence global alignment: chunked fill with boundary-column
@@ -1125,7 +1172,7 @@ class SmithWaterman:
         return int(self.best_score_batch([seq_a], [seq_b])[0])
 
     def best_score_batch(self, seqs_a, seqs_b) -> np.ndarray:
-        return _scores_auto(self.scoring, seqs_a, seqs_b, is_sw=True)
+        return _scores_bucketed(self.scoring, seqs_a, seqs_b, is_sw=True)
 
     def align_long(self, seq_a: str, seq_b: str, chunk: int = 2048,
                    min_score: Optional[int] = None):

@@ -136,3 +136,47 @@ def test_sharded_reader_partitions_pairs(tmp_path):
         .read_seqs(str(p))
     )
     assert merged == full
+
+
+def test_score_batch_bucketed_and_swapped_matches_oracle():
+    """Mixed-length batches ride the bucketed (and, for symmetric
+    configs, side-swapped) scores path — results must equal the per-pair
+    oracle for symmetric AND asymmetric substitution configs."""
+    import numpy as np
+
+    from seqalign_tpu.aligners import (
+        NeedlemanWunsch, SmithWaterman, _swap_symmetric,
+    )
+    from seqalign_tpu.ops import oracle
+    from seqalign_tpu.scoring.config import ScoringConfig
+
+    rng = np.random.default_rng(41)
+    seqs_a, seqs_b = [], []
+    for _ in range(17):  # wild length mix so buckets differ
+        la, lb = rng.integers(1, 300, 2)
+        seqs_a.append("".join(rng.choice(list("acgt"), la)))
+        seqs_b.append("".join(rng.choice(list("acgt"), lb)))
+
+    sym = ScoringConfig(2, -3, -4, -1)
+    assert _swap_symmetric(sym)
+    got = NeedlemanWunsch(sym).score_batch(seqs_a, seqs_b)
+    for a, b, s in zip(seqs_a, seqs_b, got):
+        assert oracle.nw_align(sym, a, b)[2] == s
+    got_sw = SmithWaterman(sym).best_score_batch(seqs_a, seqs_b)
+    for a, b, s in zip(seqs_a, seqs_b, got_sw):
+        M, _, _ = oracle.fill_matrices(sym, a, b, True)
+        assert M.max(initial=0) == s
+
+    # asymmetric substitution (add_mutation one way): swap must be OFF
+    asym = ScoringConfig(1, -2, -4, -1)
+    asym.add_mutation("a", "g", 1)
+    assert not _swap_symmetric(asym)
+    got = NeedlemanWunsch(asym).score_batch(seqs_a, seqs_b)
+    for a, b, s in zip(seqs_a, seqs_b, got):
+        assert oracle.nw_align(asym, a, b)[2] == s
+
+    # no-gaps flags distinguish the sides: swap must be OFF
+    import dataclasses
+
+    nga = dataclasses.replace(sym, no_gaps_in_a=True)
+    assert not _swap_symmetric(nga)
