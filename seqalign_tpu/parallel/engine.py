@@ -47,11 +47,47 @@ def _flags(sc: ScoringConfig, is_sw: bool) -> dict:
     )
 
 
+def _sc_key(sc: ScoringConfig) -> tuple:
+    """Value key for jit-function memoisation.  Scalars + flags cover the
+    fields a closure bakes in; ``id(sc.luts())`` covers the swap/wildcard
+    tables — every mutator (add_mutation/add_wildcard) resets ``_luts``,
+    so a mutated config gets a fresh compiled-LUT tuple and a new key."""
+    return (sc.match, sc.mismatch, sc.gap_open, sc.gap_extend,
+            sc.no_start_gap_penalty, sc.no_end_gap_penalty,
+            sc.no_gaps_in_a, sc.no_gaps_in_b, sc.no_mismatches,
+            sc.case_sensitive, sc.use_match_mismatch, id(sc.luts()))
+
+
+# jitted shard_map fns keyed on (builder, sc value key, mesh, options).
+# Without this every batch built a FRESH jax.jit(shard_map(closure)) —
+# a full retrace per call (~2.1s/batch measured on the real chip for the
+# streaming scorer, vs ~ms once cached).
+_FN_CACHE: dict = {}
+
+
+def _memo(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        if len(_FN_CACHE) > 512:  # unbounded CLI soaks: drop, don't leak
+            _FN_CACHE.clear()
+        fn = build()
+        _FN_CACHE[key] = fn
+    return fn
+
+
 def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
                           axis: str = "pairs"):
     """Compile fn(a_codes, b_codes, na, nb, subK, imK) -> (B,) int32 optimal
     scores, with the pair batch sharded across the mesh and the compact
-    scoring tables replicated. B must divide by the mesh size."""
+    scoring tables replicated. B must divide by the mesh size.
+    Memoised on (config value, mesh) so repeat batches reuse the trace."""
+    key = ("score", _sc_key(sc), mesh, is_sw, axis)
+    return _memo(key, lambda: _build_sharded_score_fn(
+        sc, mesh, is_sw=is_sw, axis=axis))
+
+
+def _build_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
+                            axis: str):
     flags = _flags(sc, is_sw)
     go = np.int32(sc.gap_open)
     ge = np.int32(sc.gap_extend)
@@ -79,7 +115,15 @@ def make_sharded_fill_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
                          emit_m: bool = False, axis: str = "pairs"):
     """Compile fn(a, b, na, nb, subK, imK) -> (dirs, mmat|None, corner, best)
     with the pair batch sharded across the mesh — the full-traceback fill
-    for multi-chip batches (host traceback then walks per-pair planes)."""
+    for multi-chip batches (host traceback then walks per-pair planes).
+    Memoised on (config value, mesh) so repeat batches reuse the trace."""
+    key = ("fill", _sc_key(sc), mesh, is_sw, emit_m, axis)
+    return _memo(key, lambda: _build_sharded_fill_fn(
+        sc, mesh, is_sw=is_sw, emit_m=emit_m, axis=axis))
+
+
+def _build_sharded_fill_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
+                           emit_m: bool, axis: str):
     flags = _flags(sc, is_sw)
     go = np.int32(sc.gap_open)
     ge = np.int32(sc.gap_extend)
@@ -255,11 +299,12 @@ def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
             nmm=sc.no_mismatches, lut_np=lut_np)
 
     axis = mesh.axis_names[0]
-    fn = jax.jit(shard_map(
+    key = ("scores2", _sc_key(sc), mesh, is_sw, int(lut_np), interp)
+    fn = _memo(key, lambda: jax.jit(shard_map(
         local_fill, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis), check_vma=False,
-    ))
+    )))
     out = fn(jnp.asarray(ac), jnp.asarray(bc),
              jnp.asarray(na), jnp.asarray(nb),
              jnp.asarray(subK))
@@ -284,7 +329,15 @@ def make_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     lane-packed layout with shards concatenated on axis 0 (per-pair
     extraction via ``pallas_dp2.unpack_pair_plane2`` with the SHARD-LOCAL
     geometry), corner (B, 3).  Caller gates eligibility with
-    ``aligners._v2_scores_eligible``."""
+    ``aligners._v2_scores_eligible``.  Memoised on (config value, mesh)
+    so repeat batches reuse the trace."""
+    key = ("fill2", _sc_key(sc), mesh, is_sw, int(lut_np), axis, unroll)
+    return _memo(key, lambda: _build_sharded_fill_fn2(
+        sc, mesh, is_sw=is_sw, lut_np=lut_np, axis=axis, unroll=unroll))
+
+
+def _build_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
+                            lut_np: int, axis: str, unroll: int):
     from ..ops.pallas_dp2 import pallas_fill_dirs2
 
     go = np.int32(sc.gap_open)

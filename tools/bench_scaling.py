@@ -283,8 +283,8 @@ def main():
             "weak_efficiency": round(base["t_fill_s"] / r["t_fill_s"], 4),
         })
 
-    out = {
-        "backend": backend, "plumbing_only": plumbing,
+    section = {
+        "backend": backend,
         "B_per_device": args.B_per_dev, "L": L,
         "n_devices_available": n_avail,
         "note": (
@@ -296,10 +296,22 @@ def main():
         "stage_decomposition": decomp,
         "pipeline": pipe,
         "weak_scaling": weak_eff,
-        "extrapolation_real_slice": extrapolate(decomp),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
+    # merge: virtual-mesh and real-chip runs each own one section so a
+    # rerun of either never clobbers the other's evidence
+    out = {}
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if isinstance(prev, dict):
+            out = {k: prev[k] for k in ("virtual_cpu_mesh", "real_chip")
+                   if k in prev}
+    except Exception:  # noqa: BLE001 — first run / legacy format
+        pass
+    out["virtual_cpu_mesh" if plumbing else "real_chip"] = section
+    out["extrapolation_real_slice"] = extrapolate(decomp)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"bench_scaling -> {path}")
