@@ -302,6 +302,63 @@ def _scores_bucketed(sc: ScoringConfig, seqs_a, seqs_b, *,
     return out
 
 
+def score_pairs_stream(sc: ScoringConfig, pairs, *, is_sw: bool,
+                       flush_cells: int = 2 ** 31,
+                       flush_pairs: int = 1024,
+                       max_inflight: int = 4):
+    """Streaming scores over an iterator of ``(idx, seq_a, seq_b)``:
+    pairs accumulate into pow2 length buckets (side-canonicalized for
+    symmetric configs), each bucket dispatches deferred once it holds
+    ``flush_pairs`` pairs or ``flush_cells`` padded cells, and host IO /
+    packing of later pairs overlaps the in-flight device fills (JAX
+    dispatch is asynchronous; at most ``max_inflight`` batches stay
+    un-fetched).  Yields ``(indices, scores)`` chunks.
+
+    This is the production path for large mixed-length workloads
+    (BASELINE.json configs[4]; the reference streams pairs strictly
+    serially, alignment_cmdline.c:611-622)."""
+    from .ops import dp
+
+    swap_ok = _swap_symmetric(sc)
+    buckets: dict = {}
+    inflight: list = []
+
+    def bucket_key(a: str, b: str):
+        if len(a) * len(b) > LONG_PAIR_CELLS:
+            # long pairs: sub-bucket so one fill serves each padded shape
+            return (-dp._next_pow2(max(1, len(a))),
+                    -dp._next_pow2(max(1, len(b))))
+        return (max(64, dp._next_pow2(len(a))),
+                max(64, dp._next_pow2(len(b))))
+
+    def dispatch(key):
+        idxs, sa, sb = buckets.pop(key)
+        out = _scores_auto(sc, sa, sb, is_sw=is_sw, defer=True)
+        inflight.append((idxs, out))
+
+    def drain(limit):
+        while len(inflight) > limit:
+            idxs, out = inflight.pop(0)
+            yield np.asarray(idxs, np.int64), np.asarray(out)[:len(idxs)]
+
+    for idx, a, b in pairs:
+        if swap_ok and len(a) < len(b):
+            a, b = b, a
+        key = bucket_key(a, b)
+        entry = buckets.setdefault(key, ([], [], []))
+        entry[0].append(idx)
+        entry[1].append(a)
+        entry[2].append(b)
+        la, lb = abs(key[0]), abs(key[1])
+        if len(entry[0]) >= flush_pairs or \
+                la * lb * len(entry[0]) >= flush_cells:
+            dispatch(key)
+            yield from drain(max_inflight)
+    for key in sorted(buckets, key=lambda k: (abs(k[0]) * abs(k[1]))):
+        dispatch(key)
+    yield from drain(0)
+
+
 def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
                         la: int, lb: int, is_sw: bool = False):
     """Gate for the chained v2 kernels (ops/pallas_dp2): default flags,

@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Turnkey north-star benchmark: BASELINE.json configs[4].
+
+End-to-end: gzip FASTA in -> optimal scores (and an alignment subset)
+out, over N pairs of 1-10kb DNA reads — the production regime.  Wall
+time covers EVERYTHING: gzip streaming, host pack, device fills, result
+fetch.  The reference processes the same workload strictly serially at
+~0.1-1 GCUPS on one core (alignment_cmdline.c:611-622, BASELINE.md).
+
+Writes E2E_r{NN}.json (see --out) and prints one JSON line.
+
+Usage:
+  python tools/bench_e2e.py                     # 64k pairs, real chip
+  python tools/bench_e2e.py --pairs 512 --align-pairs 8   # smoke
+"""
+
+import argparse
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALPHA = np.frombuffer(b"acgt", dtype=np.uint8)
+
+
+def _mutate(rng, seq: np.ndarray, sub=0.03, indel=0.005) -> np.ndarray:
+    """A realistic partner read: substitutions + short indels."""
+    n = len(seq)
+    out = seq.copy()
+    m = rng.random(n) < sub
+    out[m] = ALPHA[rng.integers(0, 4, int(m.sum()))]
+    # indels: delete or insert at a few positions
+    k = rng.poisson(indel * n)
+    for _ in range(int(k)):
+        p = int(rng.integers(0, max(1, len(out))))
+        ln = int(rng.integers(1, 8))
+        if rng.random() < 0.5:
+            out = np.delete(out, np.s_[p:p + ln])
+        else:
+            out = np.insert(out, p, ALPHA[rng.integers(0, 4, ln)])
+    return out
+
+
+def gen_input(path: str, n_pairs: int, lo: int, hi: int, seed: int):
+    """Write n_pairs read pairs (read, mutated copy) as one gzip FASTA —
+    two consecutive records per pair, the reference's --file pairing rule
+    (alignment_cmdline.c:578-640)."""
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    with gzip.open(path, "wb", compresslevel=1) as fh:
+        for i in range(n_pairs):
+            la = int(rng.integers(lo, hi + 1))
+            a = ALPHA[rng.integers(0, 4, la)]
+            b = _mutate(rng, a)
+            fh.write(b">p%d/1\n" % i)
+            fh.write(a.tobytes() + b"\n")
+            fh.write(b">p%d/2\n" % i)
+            fh.write(b.tobytes() + b"\n")
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=65536)
+    ap.add_argument("--align-pairs", type=int, default=2048,
+                    help="subset run through full alignment (traceback)")
+    ap.add_argument("--min-len", type=int, default=1000)
+    ap.add_argument("--max-len", type=int, default=10000)
+    ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--input", default=None,
+                    help="reuse an existing FASTA (skips generation)")
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the dev-machine hook writes jax_platforms=axon,cpu straight into
+        # the config; honor an explicit CPU request (and leave the tunnel
+        # alone — only one process may hold it)
+        jax.config.update("jax_platforms", "cpu")
+
+    from seqalign_tpu.aligners import (
+        NeedlemanWunsch, pallas_dispatch_counts, score_pairs_stream,
+    )
+    from seqalign_tpu.io import seqio
+    from seqalign_tpu.scoring.presets import scoring_system_default
+
+    sc = scoring_system_default()
+
+    path = args.input or "/tmp/seqalign_e2e_%d_%d_%d_%d.fa.gz" % (
+        args.pairs, args.min_len, args.max_len, args.seed)
+    gen_s = None
+    if not os.path.exists(path):
+        gen_s = gen_input(path, args.pairs, args.min_len, args.max_len,
+                          args.seed)
+        sys.stderr.write("e2e: generated %s in %.1fs\n" % (path, gen_s))
+    in_bytes = os.path.getsize(path)
+
+    # ---- scores phase: gzip stream -> bucketed deferred fills -> fetch
+    t0 = time.perf_counter()
+    pairs_iter = ((i, ra[1], rb[1])
+                  for i, ra, rb in seqio.read_pairs(path))
+    n = 0
+    cells = 0
+    checksum = np.int64(0)
+    score_first = None
+    for idx, scores in score_pairs_stream(sc, pairs_iter, is_sw=False,
+                                          flush_pairs=args.batch):
+        n += len(idx)
+        checksum += np.int64(scores.astype(np.int64).sum())
+        if score_first is None and 0 in idx:
+            score_first = int(scores[list(idx).index(0)])
+    wall_scores = time.perf_counter() - t0
+    # cell count from a second cheap metadata pass (lengths only)
+    for _, ra, rb in seqio.read_pairs(path):
+        cells += len(ra[1]) * len(rb[1])
+    gcups = cells / wall_scores / 1e9
+
+    # ---- align phase: full traceback on a subset
+    sub_a, sub_b = [], []
+    for i, ra, rb in seqio.read_pairs(path):
+        if len(sub_a) >= args.align_pairs:
+            break
+        sub_a.append(ra[1])
+        sub_b.append(rb[1])
+    nw = NeedlemanWunsch(sc)
+    t1 = time.perf_counter()
+    alns = nw.align_batch(sub_a, sub_b)
+    wall_align = time.perf_counter() - t1
+    acells = sum(len(a) * len(b) for a, b in zip(sub_a, sub_b))
+    # correctness spot check: alignment scores must equal streamed scores
+    if sub_a and score_first is not None:
+        assert alns[0].score == score_first, (alns[0].score, score_first)
+
+    rec = {
+        "config": "BASELINE.json configs[4] (1-10kb DNA pairs, gzip FASTA)",
+        "n_pairs": n,
+        "len_range": [args.min_len, args.max_len],
+        "input_gzip_mb": round(in_bytes / 1e6, 1),
+        "cells_total": int(cells),
+        "scores_wall_s": round(wall_scores, 2),
+        "scores_gcups_e2e": round(gcups, 2),
+        "scores_pairs_per_s": round(n / wall_scores, 1),
+        "score_checksum": int(checksum),
+        "align_pairs": len(sub_a),
+        "align_wall_s": round(wall_align, 2),
+        "align_gcups_e2e": round(acells / wall_align / 1e9, 2),
+        "align_pairs_per_s": round(len(sub_a) / max(wall_align, 1e-9), 1),
+        "dispatch_counts": pallas_dispatch_counts(),
+        "backend": __import__("jax").default_backend(),
+    }
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "E2E_r04.json")
+    with open(out, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps({
+        "metric": "e2e_scores_gcups", "value": rec["scores_gcups_e2e"],
+        "unit": "GCUPS", "pairs_per_s": rec["scores_pairs_per_s"],
+        "align_pairs_per_s": rec["align_pairs_per_s"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
