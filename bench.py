@@ -271,22 +271,25 @@ def main():
         if label == "nw_scores_B256_L512":
             headline = gcups
 
-    # second headline sample at the END of the sweep (minutes later): a
-    # transient slow window on the shared chip then can't own the number
-    # — take the better of the two (min is the honest estimator here,
-    # the noise is one-sided contention)
+    # second headline sample at the END of the sweep (minutes later),
+    # recorded as an INFORMATIONAL field only: the committed headline
+    # stays the in-sweep sample so every row shares one protocol
+    # (taking the max of sessions would bias the headline upward
+    # relative to the once-measured rows — ADVICE round 4).  A large
+    # spread between the two flags a drifting session loudly instead.
     try:
         per2 = _bench_shape(nw, 256, 512, kind="scores", is_sw=False,
                             vs=(2, 66))
         g2 = 256 * 512 * 512 / per2 / 1e9
         sys.stderr.write("bench sweep: headline resample %.2f GCUPS\n" % g2)
-        if g2 > headline:
-            headline = g2
-            for rec in sweep:
-                if rec.get("label") == "nw_scores_B256_L512":
-                    rec.update(per_fill_s=round(per2, 6),
-                               gcups=round(g2, 2),
-                               pairs_per_s=round(256 / per2, 1))
+        for rec in sweep:
+            if rec.get("label") == "nw_scores_B256_L512":
+                rec["gcups_resample"] = round(g2, 2)
+        if headline and abs(g2 - headline) / headline > 0.10:
+            sys.stderr.write(
+                "bench WARNING: headline resample drifted %.2f -> %.2f "
+                "GCUPS (>10%%): session is noisy, treat this run's "
+                "absolute numbers with suspicion\n" % (headline, g2))
     except Exception as e:  # noqa: BLE001
         sys.stderr.write("bench: headline resample failed: %s\n" % e)
 

@@ -167,30 +167,34 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 
     for sa, sb in zip(seqs_a, seqs_b):
         dp.check_valid_pairs(sc, sa, sb)
-    a, na = dp.pad_batch(seqs_a)
-    b, nb = dp.pad_batch(seqs_b)
+    na = dp.seq_lens(seqs_a)
+    nb = dp.seq_lens(seqs_b)
     use_pallas = _pallas_eligible(sc) and min(na.min(initial=1),
                                               nb.min(initial=1)) >= 1
     if use_pallas:
         from .ops.pallas_dp import f32_safe, pallas_scores
 
         floor = _pallas_pad_floor()
-        la = max(floor, dp._next_pow2(a.shape[1]))
-        lb = max(floor, dp._next_pow2(b.shape[1]))
-        if lb > 4096:  # beyond the measured kernel envelope: XLA fallback
+        la = max(floor, dp.pad_width(max(1, int(na.max(initial=0)))))
+        lb = max(floor, dp.pad_width(max(1, int(nb.max(initial=0)))))
+        # wide-lane envelope: v2 measured exact + 72-78 GCUPS up to
+        # 10240 lanes (bs=8); past that, the XLA chunked path
+        if lb > 10240:
             use_pallas = False
     if use_pallas:
-        a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
-        b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
         # equality-scoring fast path: shared fold-canonical codes computed
         # in-kernel — no substitution tables at all (the kernel never reads
-        # subK in inline mode; a fixed dummy keeps the jit signature)
+        # subK in inline mode; a fixed dummy keeps the jit signature).
+        # pack once at the final padded width, folding during the copy
+        # (native packer — the host-side scaling contract, SCALING.json)
         inline = dp.mm_eligible(sc)
         if inline:
-            ac, bc = dp.compact_inputs_mm(sc, a, b)
+            ac, bc, na, nb = dp.pack_inputs_mm(sc, seqs_a, seqs_b, la, lb)
             subK = imK = _DUMMY_TABLE
             lut = 0
         else:
+            a, na = dp.pad_batch(seqs_a, la)
+            b, nb = dp.pad_batch(seqs_b, lb)
             ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
             lut = _lut_k(subK)
         if (sc.no_gaps_in_a or sc.no_gaps_in_b) and not inline and lut == 0:
@@ -220,6 +224,10 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                 return out
             except Exception:
                 _pallas_failed("scores2")
+        if lb > 4096:
+            # v1 envelope ends at 4096 lanes; wide widths are v2-only
+            use_pallas = False
+    if use_pallas:
         try:
             out = pallas_scores(
                 jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
@@ -296,7 +304,7 @@ def _scores_bucketed(sc: ScoringConfig, seqs_a, seqs_b, *,
     else:
         sa, sb = list(seqs_a), list(seqs_b)
     out = np.zeros(n, np.int32)
-    for key, idx in _buckets(sa, sb):
+    for key, idx in _buckets(sa, sb, long_key=False):
         out[idx] = _scores_auto(sc, [sa[i] for i in idx],
                                 [sb[i] for i in idx], is_sw=is_sw)
     return out
@@ -324,12 +332,12 @@ def score_pairs_stream(sc: ScoringConfig, pairs, *, is_sw: bool,
     inflight: list = []
 
     def bucket_key(a: str, b: str):
-        if len(a) * len(b) > LONG_PAIR_CELLS:
-            # long pairs: sub-bucket so one fill serves each padded shape
-            return (-dp._next_pow2(max(1, len(a))),
-                    -dp._next_pow2(max(1, len(b))))
-        return (max(64, dp._next_pow2(len(a))),
-                max(64, dp._next_pow2(len(b))))
+        # padded-width buckets (pow2 then 1024-granular, dp.pad_width):
+        # scores memory is O(band) in the chained kernel, so even giant
+        # pairs take a regular (wide) bucket; flush_cells bounds how many
+        # accumulate before dispatch
+        return (max(64, dp.pad_width(len(a))),
+                max(64, dp.pad_width(len(b))))
 
     def dispatch(key):
         idxs, sa, sb = buckets.pop(key)
@@ -349,12 +357,12 @@ def score_pairs_stream(sc: ScoringConfig, pairs, *, is_sw: bool,
         entry[0].append(idx)
         entry[1].append(a)
         entry[2].append(b)
-        la, lb = abs(key[0]), abs(key[1])
+        la, lb = key
         if len(entry[0]) >= flush_pairs or \
                 la * lb * len(entry[0]) >= flush_cells:
             dispatch(key)
             yield from drain(max_inflight)
-    for key in sorted(buckets, key=lambda k: (abs(k[0]) * abs(k[1]))):
+    for key in sorted(buckets, key=lambda k: k[0] * k[1]):
         dispatch(key)
     yield from drain(0)
 
@@ -905,20 +913,24 @@ class _LazyPlanes:
         return int(self._arr[x + y - 2, y])
 
 
-def _buckets(seqs_a, seqs_b):
-    """Group pair indices by (pow2 len_a, pow2 len_b) so ragged batches don't
-    pay max-length padding for every pair (SURVEY §7 hard part 4).  Buckets
-    are floored at 64 to bound the number of distinct compiled shapes; pairs
-    over LONG_PAIR_CELLS go to the dedicated "long" bucket key None."""
+def _buckets(seqs_a, seqs_b, long_key: bool = True):
+    """Group pair indices by padded side widths (pow2 up to 4096, then
+    1024-granular — dp.pad_width) so ragged batches don't pay max-length
+    padding for every pair (SURVEY §7 hard part 4).  Buckets are floored
+    at 64 to bound the number of distinct compiled shapes.  With
+    ``long_key`` (the alignment paths, where dirs memory is O(n*m)),
+    pairs over LONG_PAIR_CELLS go to the dedicated "long" bucket key
+    None; scores-only callers pass False — the chained kernel's memory
+    is O(band), so giant pairs just take a (wide) regular bucket."""
     from .ops import dp
 
     groups = {}
     for i, (sa, sb) in enumerate(zip(seqs_a, seqs_b)):
-        if len(sa) * len(sb) > LONG_PAIR_CELLS:
+        if long_key and len(sa) * len(sb) > LONG_PAIR_CELLS:
             key = None
         else:
-            key = (max(64, dp._next_pow2(len(sa))),
-                   max(64, dp._next_pow2(len(sb))))
+            key = (max(64, dp.pad_width(len(sa))),
+                   max(64, dp.pad_width(len(sb))))
         groups.setdefault(key, []).append(i)
     return groups.items()
 

@@ -441,26 +441,61 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def pad_batch(seqs, pad_to: Optional[int] = None):
-    """Encode + right-pad a list of sequences into a (B, L) uint8 array.
+def pad_width(n: int) -> int:
+    """Padded bucket width for a sequence side: pow2 up to 4096 (bounds
+    the compiled-shape count at short L), then multiples of 1024 (the
+    1-10kb regime: pow2 buckets would pad a 4097-long side to 8192 — 2x
+    wasted cells; 1024-granular buckets waste <= 25% and the wide-lane
+    v2 kernel takes any multiple-of-128 width)."""
+    if n <= 4096:
+        return _next_pow2(n)
+    return -(-n // 1024) * 1024
 
-    Vectorized: one blob join + one masked scatter.  The old per-row
-    python loop cost ~15us/pair of host pack time — more than a chip
-    spends FILLING a 512x512 pair (~2.5us), which would make the host
-    the scaling bottleneck (tools/bench_scaling.py decomposition); this
-    path is ~10x cheaper and keeps the double-buffered stream fed."""
+
+def seq_lens(seqs) -> np.ndarray:
+    """int32 lengths of a sequence list (native list walk when
+    available)."""
+    from ..io import packer
+
+    return packer.seq_lens(seqs)
+
+
+def pad_batch(seqs, pad_to: Optional[int] = None,
+              fold: Optional[np.ndarray] = None):
+    """Encode + right-pad a list of sequences into a (B, L) uint8 array,
+    optionally translating every byte through ``fold`` in the same pass.
+
+    Rides the native packer (io/packer.py: one GIL-released translate-copy
+    per row, ~0.2us/pair at L=512) with a vectorized numpy fallback.  Host
+    pack is the per-host serial cost that bounds chips-per-host in
+    SCALING.json — a chip FILLS a 512x512 pair in ~2.5us, so this must
+    stay well under 1us/pair for one host to feed a 4-8 chip v5e host."""
     n = len(seqs)
     if n == 0:
         return (np.zeros((0, max(1, pad_to or 1)), np.uint8),
                 np.zeros((0,), np.int32))
-    if isinstance(seqs[0], str):
-        blob = "".join(seqs).encode("latin-1")
-    elif isinstance(seqs[0], (bytes, bytearray)):
-        blob = b"".join(bytes(s) for s in seqs)
-    else:  # arbitrary code containers: per-element encode fallback
-        enc = [encode(s) if not isinstance(s, np.ndarray)
-               else np.ascontiguousarray(s, np.uint8) for s in seqs]
-        blob = b"".join(e.tobytes() for e in enc)
+    if isinstance(seqs[0], (str, bytes, bytearray)):
+        from ..io import packer
+
+        seql = seqs if isinstance(seqs, list) else list(seqs)
+        if pad_to is not None:
+            # optimistic single pass at the requested width — the packer
+            # rejects overlong rows, and only then do we pay a Python
+            # length pass to find the true max
+            try:
+                return packer.pack(seql, max(1, pad_to), fold)
+            except ValueError:
+                pass
+        lens = seq_lens(seqs)
+        L = max(1, int(lens.max(initial=0)))
+        if pad_to is not None:
+            L = max(pad_to, L)
+        out, lens = packer.pack(seql, L, fold)
+        return out, lens
+    # arbitrary code containers: per-element encode fallback
+    enc = [encode(s) if not isinstance(s, np.ndarray)
+           else np.ascontiguousarray(s, np.uint8) for s in seqs]
+    blob = b"".join(e.tobytes() for e in enc)
     lens = np.fromiter((len(s) for s in seqs), np.int32, count=n)
     L = max(1, int(lens.max(initial=0)))
     if pad_to is not None:
@@ -469,14 +504,32 @@ def pad_batch(seqs, pad_to: Optional[int] = None):
     # row-major boolean assignment consumes the blob in sequence order
     mask = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
     out[mask] = np.frombuffer(blob, np.uint8)
+    if fold is not None:
+        out = fold[out]
     return out, lens
 
 
+def pack_inputs_mm(sc: ScoringConfig, seqs_a, seqs_b,
+                   pad_a: Optional[int] = None,
+                   pad_b: Optional[int] = None):
+    """One-pass pack for the inline match/mismatch kernels: pad + fold each
+    side in a single native translate-copy (equivalent to
+    ``compact_inputs_mm(sc, *pad_batch(...))`` but without the second
+    full-array gather — the production host-pack path measured by
+    tools/bench_scaling.py).  Returns (ac, bc, na, nb)."""
+    fold = sc.luts()[0]
+    ac, na = pad_batch(seqs_a, pad_a, fold)
+    bc, nb = pad_batch(seqs_b, pad_b, fold)
+    return ac, bc, na, nb
+
+
 def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
-                   kpad: int = 8):
+                   kpad: int = 8, return_maps: bool = False):
     """Host-side alphabet compaction: map raw bytes to dense codes and slice
     the 256x256 LUTs down to the (Ka, Kb) tables the device actually needs.
-    Tables are padded to multiples of ``kpad`` to bound recompilation."""
+    Tables are padded to multiples of ``kpad`` to bound recompilation.
+    ``return_maps`` appends the 256-entry byte->code maps (mapa, mapb) so
+    callers can re-map further byte batches — e.g. on device."""
     _, sub, ismatch, _ = sc.luts()
     ua = _present_bytes(a_bytes)
     ub = _present_bytes(b_bytes)
@@ -492,7 +545,8 @@ def compact_inputs(sc: ScoringConfig, a_bytes: np.ndarray, b_bytes: np.ndarray,
     imK[: len(ua), : len(ub)] = ismatch[np.ix_(ua, ub)]
     if np.abs(subK).max(initial=0) >= (1 << 24):
         raise ValueError("substitution scores must be < 2^24 in magnitude")
-    return mapa[a_bytes], mapb[b_bytes], subK, imK
+    out = (mapa[a_bytes], mapb[b_bytes], subK, imK)
+    return out + (mapa, mapb) if return_maps else out
 
 
 def _present_bytes(arr: np.ndarray) -> np.ndarray:
@@ -528,11 +582,14 @@ def compact_inputs_mm(sc: ScoringConfig, a_bytes: np.ndarray,
     # bytes THEMSELVES satisfy both, so no per-batch alphabet scan or
     # rank remapping is needed at all — one uint8 LUT gather per side.
     # (Kernel stagings cast codes to their compute dtype on device;
-    # values <= 255 are exact in every mode including f32.)  This keeps
-    # host pack cost ~2us/pair at L=512 so one host can feed multiple
-    # chips (tools/bench_scaling.py stage decomposition).
+    # values <= 255 are exact in every mode including f32.)  The gather
+    # rides the native fold (io/packer.py) — callers that still hold the
+    # raw sequence lists should prefer :func:`pack_inputs_mm`, which folds
+    # during the pack copy itself (tools/bench_scaling.py decomposition).
+    from ..io import packer
+
     fold = sc.luts()[0]
-    return fold[a_bytes], fold[b_bytes]
+    return packer.fold_bytes(a_bytes, fold), packer.fold_bytes(b_bytes, fold)
 
 
 def check_valid_pairs(sc: ScoringConfig, seq_a, seq_b):

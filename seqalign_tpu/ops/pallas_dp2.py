@@ -41,8 +41,16 @@ bytes packed 4-per-int32 into ceil(Ka/4) planes, selected by a bit-tree
 over the rolling a-codes then byte-extracted — ~2x fewer vector ops
 than the v1 per-letter select chain, and it keeps working across chain
 transitions because the planes ride the same boundary select as the
-state).  Flags: default or ``nsg`` (free start gaps).  Other modes
-(neg/nga/ngb/nmm, plane streaming, int32) stay on the v1 kernels.
+state).
+
+Recurrence modes (since round 4, commit f1024f2): default flags plus
+``nsg`` (free start gaps), ``neg`` (free end gaps), ``nga``/``ngb``
+(no-gaps constraints) and ``nmm`` (no mismatches, equality scoring
+only) — routed here by ``aligners._v2_scores_eligible``.  What still
+rides the v1 kernels (ops/pallas_dp.py): large-alphabet plane
+streaming, the both-no-gaps int32 sentinel-parity path, SW with
+neg/nga/ngb constraints, and widths past the measured envelope
+(lb > 4096).
 """
 
 from __future__ import annotations
@@ -134,8 +142,11 @@ def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60,
         need = -(-B // (P * C))
         # VMEM residency: state planes + in/out blocks per sublane-lane
         # (scores ~60 B, dirs ~140 B with its 9+ planes and K-deep outs;
-        # packed-LUT planes add 4*lut_np B/lane)
-        cap = max(8, (8 << 20) // (LN * (state_bytes + 4 * lut_np)))
+        # packed-LUT planes add 4*lut_np B/lane).  Wide rows (LN > 4096,
+        # the 1-10kb regime) take a half budget: bs=16 at LN=6144-8192
+        # measured 22-28 GCUPS (VMEM spill) vs bs=8's 72-78
+        budget = (8 << 20) if LN <= 4096 else (4 << 20)
+        cap = max(8, budget // (LN * (state_bytes + 4 * lut_np)))
         while cap & (cap - 1):
             cap &= cap - 1
         bs = 8

@@ -120,10 +120,16 @@ def distributed_score_file(sc: ScoringConfig, path1: str,
             return
         # defer=True: the batch stays an in-flight device array, so the
         # next batch's file IO + host pack overlaps this batch's device
-        # fill (double buffering); everything is fetched once at assembly
+        # fill (double buffering).  Backpressure: only the newest 4
+        # batches stay deferred — older ones are fetched to host numpy so
+        # a huge input file can't pile up unbounded device input buffers
+        # (ADVICE round 4; mirrors score_pairs_stream's max_inflight=4).
         s = _scores_auto(sc, buf_a, buf_b, is_sw=is_sw, defer=True)
-        idxs.extend(buf_i)
         scores.append(s)
+        k = len(scores) - 4
+        if k > 0 and not isinstance(scores[k - 1], np.ndarray):
+            scores[k - 1] = np.asarray(scores[k - 1])
+        idxs.extend(buf_i)
         buf_i.clear()
         buf_a.clear()
         buf_b.clear()

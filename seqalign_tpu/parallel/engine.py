@@ -48,31 +48,38 @@ def _flags(sc: ScoringConfig, is_sw: bool) -> dict:
 
 
 def _sc_key(sc: ScoringConfig) -> tuple:
-    """Value key for jit-function memoisation.  Scalars + flags cover the
+    """Value key for jit-function memoisation.  Scalars + flags +
+    ``min_penalty`` (the NEG_INF sentinel input mutators change) cover the
     fields a closure bakes in; ``id(sc.luts())`` covers the swap/wildcard
     tables — every mutator (add_mutation/add_wildcard) resets ``_luts``,
-    so a mutated config gets a fresh compiled-LUT tuple and a new key."""
+    so a mutated config gets a fresh compiled-LUT tuple and a new key.
+    ``_memo`` additionally keeps that tuple alive in the cache entry so
+    CPython can never recycle its id for a different config while the
+    cached fn lives (ADVICE round 4, medium)."""
     return (sc.match, sc.mismatch, sc.gap_open, sc.gap_extend,
-            sc.no_start_gap_penalty, sc.no_end_gap_penalty,
-            sc.no_gaps_in_a, sc.no_gaps_in_b, sc.no_mismatches,
-            sc.case_sensitive, sc.use_match_mismatch, id(sc.luts()))
+            sc.min_penalty, sc.no_start_gap_penalty,
+            sc.no_end_gap_penalty, sc.no_gaps_in_a, sc.no_gaps_in_b,
+            sc.no_mismatches, sc.case_sensitive, sc.use_match_mismatch,
+            id(sc.luts()))
 
 
 # jitted shard_map fns keyed on (builder, sc value key, mesh, options).
 # Without this every batch built a FRESH jax.jit(shard_map(closure)) —
 # a full retrace per call (~2.1s/batch measured on the real chip for the
-# streaming scorer, vs ~ms once cached).
+# streaming scorer, vs ~ms once cached).  Entries are (fn, keepalive):
+# the keepalive pins the config's luts tuple so the id() in the key stays
+# unambiguous for the entry's lifetime.
 _FN_CACHE: dict = {}
 
 
-def _memo(key, build):
-    fn = _FN_CACHE.get(key)
-    if fn is None:
+def _memo(key, build, keep=None):
+    hit = _FN_CACHE.get(key)
+    if hit is None:
         if len(_FN_CACHE) > 512:  # unbounded CLI soaks: drop, don't leak
             _FN_CACHE.clear()
-        fn = build()
-        _FN_CACHE[key] = fn
-    return fn
+        hit = (build(), keep)
+        _FN_CACHE[key] = hit
+    return hit[0]
 
 
 def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
@@ -83,7 +90,7 @@ def make_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     Memoised on (config value, mesh) so repeat batches reuse the trace."""
     key = ("score", _sc_key(sc), mesh, is_sw, axis)
     return _memo(key, lambda: _build_sharded_score_fn(
-        sc, mesh, is_sw=is_sw, axis=axis))
+        sc, mesh, is_sw=is_sw, axis=axis), keep=sc.luts())
 
 
 def _build_sharded_score_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
@@ -119,7 +126,7 @@ def make_sharded_fill_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     Memoised on (config value, mesh) so repeat batches reuse the trace."""
     key = ("fill", _sc_key(sc), mesh, is_sw, emit_m, axis)
     return _memo(key, lambda: _build_sharded_fill_fn(
-        sc, mesh, is_sw=is_sw, emit_m=emit_m, axis=axis))
+        sc, mesh, is_sw=is_sw, emit_m=emit_m, axis=axis), keep=sc.luts())
 
 
 def _build_sharded_fill_fn(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
@@ -211,19 +218,22 @@ def _score_dispatch(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     pipeline in :func:`sharded_score_stream`)."""
     n = len(seqs_a)
     nd = mesh.devices.size
-    a, na = dp.pad_batch(seqs_a)
-    b, nb = dp.pad_batch(seqs_b)
     rem = (-n) % nd
     if rem:
-        a = np.pad(a, ((0, rem), (0, 0)))
-        b = np.pad(b, ((0, rem), (0, 0)))
-        # filler lengths of 1 (not 0) keep ragged batches inside the v2
-        # fast path's min(na, nb) >= 1 gate (results are sliced to n)
-        na = np.pad(na, (0, rem), constant_values=1)
-        nb = np.pad(nb, (0, rem), constant_values=1)
-    v2 = _v2_scores_sharded(sc, a, b, na, nb, is_sw=is_sw, mesh=mesh)
+        # filler pairs pad the batch to a mesh multiple; their recorded
+        # length is 1 (not 0) to keep ragged batches inside the v2 fast
+        # path's min(na, nb) >= 1 gate (results are sliced to n).  The
+        # filler rows pack as zero bytes either way.
+        seqs_a = list(seqs_a) + [""] * rem
+        seqs_b = list(seqs_b) + [""] * rem
+    v2 = _v2_scores_sharded(sc, seqs_a, seqs_b, n, is_sw=is_sw, mesh=mesh)
     if v2 is not None:
         return v2, n
+    a, na = dp.pad_batch(seqs_a)
+    b, nb = dp.pad_batch(seqs_b)
+    if rem:
+        na[n:] = 1
+        nb[n:] = 1
     ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
     fn = make_sharded_score_fn(sc, mesh, is_sw=is_sw)
     scores = fn(jnp.asarray(ac), jnp.asarray(bc),
@@ -260,25 +270,33 @@ def sharded_score_stream(sc: ScoringConfig, batches, *, is_sw: bool,
         yield np.asarray(dev)[:n]
 
 
-def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
+def _v2_scores_sharded(sc, seqs_a, seqs_b, n_real, *, is_sw, mesh):
     """Scores-only sharded dispatch through the chained v2 kernel; None
-    when ineligible (the XLA shard path runs instead)."""
+    when ineligible (the XLA shard path runs instead).  ``seqs_a``/
+    ``seqs_b`` may carry empty filler pairs past ``n_real`` (mesh-multiple
+    padding) — fillers count as length 1 for the eligibility gates."""
     from ..aligners import _note_dispatch, _v2_scores_eligible
     from ..ops.pallas_dp2 import pallas_scores2
 
+    na = dp.seq_lens(seqs_a)
+    nb = dp.seq_lens(seqs_b)
+    na[n_real:] = 1
+    nb[n_real:] = 1
     if min(na.min(initial=1), nb.min(initial=1)) < 1:
         return None
-    la = max(128, dp._next_pow2(a.shape[1]))
-    lb = max(128, dp._next_pow2(b.shape[1]))
+    la = max(128, dp._next_pow2(max(1, int(na.max(initial=0)))))
+    lb = max(128, dp._next_pow2(max(1, int(nb.max(initial=0)))))
     if lb > 4096:
         return None
     inline = dp.mm_eligible(sc)
-    a = np.pad(a, ((0, 0), (0, la - a.shape[1])))
-    b = np.pad(b, ((0, 0), (0, lb - b.shape[1])))
     if inline:
-        ac, bc = dp.compact_inputs_mm(sc, a, b)
+        # one-pass native pack+fold at the final padded width — the
+        # production host-pack cost (SCALING.json stage decomposition)
+        ac, bc, _, _ = dp.pack_inputs_mm(sc, seqs_a, seqs_b, la, lb)
         subK = np.zeros((8, 8), np.int32)
     else:
+        a, _ = dp.pad_batch(seqs_a, la)
+        b, _ = dp.pad_batch(seqs_b, lb)
         ac, bc, subK, _ = dp.compact_inputs(sc, a, b)
     lut_np = _v2_scores_eligible(sc, inline, None if inline else subK,
                                  la, lb, is_sw=is_sw)
@@ -304,7 +322,7 @@ def _v2_scores_sharded(sc, a, b, na, nb, *, is_sw, mesh):
         local_fill, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(axis), check_vma=False,
-    )))
+    )), keep=sc.luts())
     out = fn(jnp.asarray(ac), jnp.asarray(bc),
              jnp.asarray(na), jnp.asarray(nb),
              jnp.asarray(subK))
@@ -333,7 +351,8 @@ def make_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,
     so repeat batches reuse the trace."""
     key = ("fill2", _sc_key(sc), mesh, is_sw, int(lut_np), axis, unroll)
     return _memo(key, lambda: _build_sharded_fill_fn2(
-        sc, mesh, is_sw=is_sw, lut_np=lut_np, axis=axis, unroll=unroll))
+        sc, mesh, is_sw=is_sw, lut_np=lut_np, axis=axis, unroll=unroll),
+        keep=sc.luts())
 
 
 def _build_sharded_fill_fn2(sc: ScoringConfig, mesh: Mesh, *, is_sw: bool,

@@ -203,7 +203,7 @@ def _sp_chunk_dirs(A_local, blv, na, nb, CA, LB, go, ge, mn, mt, mm,
         try:
             if axis in getattr(jax.typeof(x), "vma", ()):
                 return x
-            return jax.lax.pvary(x, axis)
+            return jax.lax.pcast(x, axis, to="varying")
         except AttributeError:  # older jax: derive from a sharded input
             return x + (blv[:1] * 0 if x.ndim else blv[0] * 0)
 

@@ -195,6 +195,13 @@ DIRS_CASES = [
      False, False, DNA, 7, 56, 60, 2),
     ("d_nw_ngb", lambda: ScoringConfig(1, -2, -4, -1, no_gaps_in_b=True),
      False, False, DNA, 7, 56, 60, 2),
+    # nmm rides the v2 dirs kernel via _v2_scores_eligible (inline
+    # equality scoring): cover the chunk-transition/band-crossing shapes
+    # the other round-4 modes use (ADVICE round 4)
+    ("d_nw_nmm", lambda: ScoringConfig(1, -2, -4, -1, no_mismatches=True),
+     False, False, DNA, 8, 56, 60, 2),
+    ("d_sw_nmm", lambda: ScoringConfig(2, -2, -2, -1, no_mismatches=True),
+     True, False, DNA, 8, 56, 60, 2),
 ]
 
 

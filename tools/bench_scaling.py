@@ -96,11 +96,10 @@ def stage_decomposition(n_dev, B, L, vs, reps=7):
     mesh = make_mesh(n_dev)
     sa, sb = _gen_batch(B, L, 0)
 
-    # -- stage 1: host pack (pad + compaction), pure numpy --------------
+    # -- stage 1: host pack — the production path (native one-pass
+    # pack+fold, ops/dp.pack_inputs_mm; numpy fallback inside) ----------
     def pack():
-        a, na = dp.pad_batch(sa)
-        b, nb = dp.pad_batch(sb)
-        return dp.compact_inputs_mm(sc, a, b) + (na, nb)
+        return dp.pack_inputs_mm(sc, sa, sb)
 
     t_pack = _min_of(lambda: pack(), reps)
     ac, bc, na, nb = pack()
@@ -119,11 +118,32 @@ def stage_decomposition(n_dev, B, L, vs, reps=7):
     bcj = jnp.asarray(bc)
     go, ge = np.int32(sc.gap_open), np.int32(sc.gap_extend)
 
-    def local_fill(a_, b_, na_, nb_):
-        return pallas_scores2(
-            a_, b_, na_, nb_, go, ge, is_sw=False,
-            match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
-            interpret=interp)
+    if interp:
+        # virtual CPU mesh: the XLA scan fill (what a CPU shard really
+        # runs) — interpret-mode Pallas is ~1000x slow AND serializes
+        # shards, so it said nothing about shard parallelism (round-4
+        # weak_efficiency 0.27 was that artifact, not a sharding cost).
+        # Inputs stay the production folded bytes; the code map is one
+        # on-device gather.
+        _, _, subK, imK, mapa, mapb = dp.compact_inputs(
+            sc, ac, bc, return_maps=True)
+        subKj, imKj = jnp.asarray(subK), jnp.asarray(imK)
+        mapaj, mapbj = jnp.asarray(mapa), jnp.asarray(mapb)
+        mn = np.int32(sc.dp_floor(False))
+
+        def local_fill(a_, b_, na_, nb_):
+            out = dp.dp_fill(
+                mapaj[a_], mapbj[b_], na_, nb_, subKj, imKj, go, ge, mn,
+                emit_dirs=False, emit_m=False, emit_gab=False,
+                is_sw=False, nsg=False, neg=False, nga=False, ngb=False,
+                nmm=False)
+            return jnp.max(out.corner, axis=1)
+    else:
+        def local_fill(a_, b_, na_, nb_):
+            return pallas_scores2(
+                a_, b_, na_, nb_, go, ge, is_sw=False,
+                match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
+                interpret=interp)
 
     sharded = shard_map(
         local_fill, mesh=mesh,
@@ -273,15 +293,36 @@ def main():
         pipe.append(row2)
         print(json.dumps(row2), flush=True)
         n *= 2
+    # production-batch row: the streaming scorer flushes 1024-pair
+    # buckets (aligners.score_pairs_stream flush_pairs), so the host
+    # rate that matters for chips-per-host amortizes pack overhead over
+    # batches that big — measure it at the full mesh
+    row = stage_decomposition(n_avail, max(1024, args.B_per_dev * n_avail),
+                              L, vs)
+    row["note"] = "production-size batch (stream flush_pairs)"
+    decomp.append(row)
+    print(json.dumps(row), flush=True)
 
     base = decomp[0]
+    ncores = os.cpu_count() or 1
     weak_eff = []
     for r in decomp:
+        if "note" in r:  # production-batch row: not a weak-scaling point
+            continue
         # weak scaling: per-device work constant; ideal keeps t_fill flat
-        weak_eff.append({
+        eff = base["t_fill_s"] / r["t_fill_s"]
+        row = {
             "n_devices": r["n_devices"],
-            "weak_efficiency": round(base["t_fill_s"] / r["t_fill_s"], 4),
-        })
+            "weak_efficiency": round(eff, 4),
+        }
+        if plumbing:
+            # virtual devices share this host's cores: n devices on c
+            # cores can at best reach c/n of flat — normalize so the
+            # sharding cost is separable from core oversubscription
+            ideal = min(1.0, ncores / r["n_devices"])
+            row["core_oversubscription_ideal"] = round(ideal, 4)
+            row["efficiency_vs_core_ideal"] = round(eff / ideal, 4)
+        weak_eff.append(row)
 
     section = {
         "backend": backend,
@@ -302,16 +343,25 @@ def main():
     # merge: virtual-mesh and real-chip runs each own one section so a
     # rerun of either never clobbers the other's evidence
     out = {}
+    prev = {}
     try:
         with open(path) as fh:
             prev = json.load(fh)
         if isinstance(prev, dict):
             out = {k: prev[k] for k in ("virtual_cpu_mesh", "real_chip")
                    if k in prev}
+        else:
+            prev = {}
     except Exception:  # noqa: BLE001 — first run / legacy format
-        pass
+        prev = {}
     out["virtual_cpu_mesh" if plumbing else "real_chip"] = section
-    out["extrapolation_real_slice"] = extrapolate(decomp)
+    if not plumbing:
+        # the chips-per-host budget must come from the REAL-chip host
+        # rate (same pack path, production L) — a virtual-CPU run keeps
+        # the previous real extrapolation instead of clobbering it
+        out["extrapolation_real_slice"] = extrapolate(decomp)
+    elif "extrapolation_real_slice" in prev:
+        out["extrapolation_real_slice"] = prev["extrapolation_real_slice"]
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"bench_scaling -> {path}")
