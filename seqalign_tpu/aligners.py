@@ -167,8 +167,21 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
 
     for sa, sb in zip(seqs_a, seqs_b):
         dp.check_valid_pairs(sc, sa, sb)
+    # pow2 batch-count padding: the kernels already round B up to full
+    # sublane chunks internally, so filler pairs cost ~nothing — but a
+    # distinct B is a distinct jit shape, and streaming buckets flush at
+    # ragged sizes (a 1-10kb E2E smoke spent 290s of its 293s wall in
+    # per-shape Mosaic compiles).  Fillers record length 1 (na must stay
+    # >= 1 for the v2 gate); every return slices back to n.
+    n = len(seqs_a)
+    npad = dp._next_pow2(max(8, n))
+    if npad != n:
+        seqs_a = list(seqs_a) + [""] * (npad - n)
+        seqs_b = list(seqs_b) + [""] * (npad - n)
     na = dp.seq_lens(seqs_a)
     nb = dp.seq_lens(seqs_b)
+    na[n:] = 1
+    nb[n:] = 1
     use_pallas = _pallas_eligible(sc) and min(na.min(initial=1),
                                               nb.min(initial=1)) >= 1
     if use_pallas:
@@ -189,12 +202,13 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         # (native packer — the host-side scaling contract, SCALING.json)
         inline = dp.mm_eligible(sc)
         if inline:
-            ac, bc, na, nb = dp.pack_inputs_mm(sc, seqs_a, seqs_b, la, lb)
+            # na/nb keep the filler-as-length-1 override from above
+            ac, bc, _, _ = dp.pack_inputs_mm(sc, seqs_a, seqs_b, la, lb)
             subK = imK = _DUMMY_TABLE
             lut = 0
         else:
-            a, na = dp.pad_batch(seqs_a, la)
-            b, nb = dp.pad_batch(seqs_b, lb)
+            a, _ = dp.pad_batch(seqs_a, la)
+            b, _ = dp.pad_batch(seqs_b, lb)
             ac, bc, subK, imK = dp.compact_inputs(sc, a, b)
             lut = _lut_k(subK)
         if (sc.no_gaps_in_a or sc.no_gaps_in_b) and not inline and lut == 0:
@@ -218,6 +232,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                     neg=sc.no_end_gap_penalty, nga=sc.no_gaps_in_a,
                     ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches, lut_np=v2,
                 )
+                out = out[:n]
                 if not defer:
                     out = np.asarray(out)
                 _note_dispatch("scores2")
@@ -249,6 +264,7 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                 # reproduce after the staging rework)
                 unroll=_pallas_unroll(8),
             )
+            out = out[:n]
             if not defer:
                 out = np.asarray(out)
             _note_dispatch("scores")
@@ -260,10 +276,10 @@ def _scores_auto(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         validate=False,
     )
     if is_sw:
-        return out.best if defer else np.asarray(out.best)
+        return out.best[:n] if defer else np.asarray(out.best)[:n]
     if defer:
-        return out.corner.max(axis=1)
-    return np.asarray(out.corner).max(axis=1)
+        return out.corner.max(axis=1)[:n]
+    return np.asarray(out.corner).max(axis=1)[:n]
 
 
 def _swap_symmetric(sc: ScoringConfig) -> bool:

@@ -85,6 +85,14 @@ def main():
         # the config; honor an explicit CPU request (and leave the tunnel
         # alone — only one process may hold it)
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the 1-10kb regime spans ~20 padded
+    # (la, lb) bucket shapes at ~10s Mosaic compile each — a production
+    # deployment turns this on, so the benchmark does too (the CLIs keep
+    # it off for stderr byte parity; see ROADMAP round-2 item 8)
+    if os.environ.get("SEQALIGN_COMPILE_CACHE", "1") != "0":
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/seqalign_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from seqalign_tpu.aligners import (
         NeedlemanWunsch, pallas_dispatch_counts, score_pairs_stream,
@@ -103,27 +111,37 @@ def main():
         sys.stderr.write("e2e: generated %s in %.1fs\n" % (path, gen_s))
     in_bytes = os.path.getsize(path)
 
-    # ---- scores phase: gzip stream -> bucketed deferred fills -> fetch
-    t0 = time.perf_counter()
-    pairs_iter = ((i, ra[1], rb[1])
-                  for i, ra, rb in seqio.read_pairs(path))
-    n = 0
+    # ---- scores phase: gzip stream -> bucketed deferred fills -> fetch.
+    # Two passes over the SAME file in one process: the cold pass pays
+    # one jit compile per padded bucket shape (~10s each through the dev
+    # tunnel; a production deployment persists these), the warm pass is
+    # the steady-state rate covering IO + pack + fill + fetch.
+    def scores_pass():
+        t0 = time.perf_counter()
+        pairs_iter = ((i, ra[1], rb[1])
+                      for i, ra, rb in seqio.read_pairs(path))
+        n = 0
+        checksum = np.int64(0)
+        score_first = None
+        for idx, scores in score_pairs_stream(sc, pairs_iter, is_sw=False,
+                                              flush_pairs=args.batch):
+            n += len(idx)
+            checksum += np.int64(scores.astype(np.int64).sum())
+            if score_first is None and 0 in idx:
+                score_first = int(scores[list(idx).index(0)])
+        return time.perf_counter() - t0, n, checksum, score_first
+
+    wall_cold, n, checksum, score_first = scores_pass()
+    sys.stderr.write("e2e: cold scores pass %.1fs\n" % wall_cold)
+    wall_scores, n2, checksum2, _ = scores_pass()
+    assert n2 == n and checksum2 == checksum  # determinism across passes
+    # cell count from a cheap metadata pass (lengths only)
     cells = 0
-    checksum = np.int64(0)
-    score_first = None
-    for idx, scores in score_pairs_stream(sc, pairs_iter, is_sw=False,
-                                          flush_pairs=args.batch):
-        n += len(idx)
-        checksum += np.int64(scores.astype(np.int64).sum())
-        if score_first is None and 0 in idx:
-            score_first = int(scores[list(idx).index(0)])
-    wall_scores = time.perf_counter() - t0
-    # cell count from a second cheap metadata pass (lengths only)
     for _, ra, rb in seqio.read_pairs(path):
         cells += len(ra[1]) * len(rb[1])
     gcups = cells / wall_scores / 1e9
 
-    # ---- align phase: full traceback on a subset
+    # ---- align phase: full traceback on a subset (same cold/warm split)
     sub_a, sub_b = [], []
     for i, ra, rb in seqio.read_pairs(path):
         if len(sub_a) >= args.align_pairs:
@@ -131,6 +149,9 @@ def main():
         sub_a.append(ra[1])
         sub_b.append(rb[1])
     nw = NeedlemanWunsch(sc)
+    t1 = time.perf_counter()
+    alns = nw.align_batch(sub_a, sub_b)
+    wall_align_cold = time.perf_counter() - t1
     t1 = time.perf_counter()
     alns = nw.align_batch(sub_a, sub_b)
     wall_align = time.perf_counter() - t1
@@ -145,11 +166,13 @@ def main():
         "len_range": [args.min_len, args.max_len],
         "input_gzip_mb": round(in_bytes / 1e6, 1),
         "cells_total": int(cells),
+        "scores_wall_cold_s": round(wall_cold, 2),
         "scores_wall_s": round(wall_scores, 2),
         "scores_gcups_e2e": round(gcups, 2),
         "scores_pairs_per_s": round(n / wall_scores, 1),
         "score_checksum": int(checksum),
         "align_pairs": len(sub_a),
+        "align_wall_cold_s": round(wall_align_cold, 2),
         "align_wall_s": round(wall_align, 2),
         "align_gcups_e2e": round(acells / wall_align / 1e9, 2),
         "align_pairs_per_s": round(len(sub_a) / max(wall_align, 1e-9), 1),
@@ -158,7 +181,7 @@ def main():
     }
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "E2E_r04.json")
+        "E2E_r05.json")
     with open(out, "w") as fh:
         json.dump(rec, fh, indent=1)
     print(json.dumps({
