@@ -384,20 +384,23 @@ def score_pairs_stream(sc: ScoringConfig, pairs, *, is_sw: bool,
 
 
 def _v2_scores_eligible(sc: ScoringConfig, inline: bool, subK,
-                        la: int, lb: int, is_sw: bool = False):
+                        la: int, lb: int, is_sw: bool = False,
+                        dirs: bool = False):
     """Gate for the chained v2 kernels (ops/pallas_dp2): default flags,
-    free-START gaps, or (NW) free-END gaps, with in-kernel scoring
-    (equality or packed-LUT) and f32-exactness over the chained band.
-    Returns the packed-LUT plane count (0 for equality mode) or None
-    when the v1 kernel should run instead.  ``SEQALIGN_V2=off`` pins the
-    v1 path."""
+    free-START gaps, free-END gaps, or single no-gaps constraints, with
+    in-kernel scoring (equality or packed-LUT) and f32-exactness over
+    the chained band.  SW constrained modes ride the v2 SCORES kernel
+    since round 5; the v2 DIRS kernel stays NW-only for them (pass
+    ``dirs=True``).  Returns the packed-LUT plane count (0 for equality
+    mode) or None when the v1 kernel should run instead.
+    ``SEQALIGN_V2=off`` pins the v1 path."""
     if os.environ.get("SEQALIGN_V2") == "off":
         return None
     if sc.no_mismatches and not inline:
         return None  # nmm needs in-kernel equality scoring
-    if is_sw and (sc.no_end_gap_penalty or sc.no_gaps_in_a
-                  or sc.no_gaps_in_b):
-        return None  # constrained-mode v2 kernels are NW-only (round 4)
+    if dirs and is_sw and (sc.no_end_gap_penalty or sc.no_gaps_in_a
+                           or sc.no_gaps_in_b):
+        return None  # constrained-mode v2 DIRS kernels are NW-only
     if sc.no_gaps_in_a and sc.no_gaps_in_b:
         # both-flags fills have unreachable interior cells whose NEG_INF
         # sentinel chains WRAP in the reference's int32 arithmetic (UB)
@@ -544,7 +547,7 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
     # 70.4 vs 35.0 GCUPS NW / 55.3 vs 35.1 SW at B>=128 L=512); the v1
     # kernel remains for the modes/widths it doesn't cover
     v2 = _v2_scores_eligible(sc, inline, None if inline else subK, la,
-                             lb, is_sw=is_sw)
+                             lb, is_sw=is_sw, dirs=True)
     # round-4 envelope lift: v2 dirs measured working at 4096 lanes on
     # TPU v5e (corner == scores kernel, traceback exact); 8192 compiles
     # only at K=8 with a ~9min Mosaic compile — not shipped, v1 covers it

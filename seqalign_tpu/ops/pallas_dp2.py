@@ -50,7 +50,7 @@ only) — routed here by ``aligners._v2_scores_eligible``.  What still
 rides the v1 kernels (ops/pallas_dp.py): large-alphabet plane
 streaming, the both-no-gaps int32 sentinel-parity path, SW with
 neg/nga/ngb constraints, and widths past the measured envelope
-(lb > 4096).
+(lb > 10240 for scores since round 5; lb > 4096 for dirs).
 """
 
 from __future__ import annotations
@@ -202,9 +202,25 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
     capture-diagonal plane is nonzero exactly there)."""
     lut = lut_np > 0
     ncol = neg or nga  # modes needing the rolling x==na diagonal plane
+    swcd = is_sw and (neg or ngb)  # SW last-b-row marker plane needed
     if is_sw:
-        (aw_ref, bl_ref, scal_ref, out_ref,
-         sg1, sg2, se, gu, fu, acc0, acc1, av, bls) = refs
+        rs = list(refs)
+        aw_ref, bl_ref = rs[0], rs[1]
+        i = 2
+        if swcd:
+            cd_ref = rs[i]
+            i += 1
+        if ncol:
+            nl_ref = rs[i]
+            i += 1
+        (scal_ref, out_ref,
+         sg1, sg2, se, gu, fu, acc0, acc1, av, bls) = rs[i:i + 11]
+        i += 11
+        if swcd:
+            cdv = rs[i]
+            i += 1
+        if ncol:
+            ncv = rs[i]
     elif ncol:
         (aw_ref, bl_ref, cd_ref, capg_ref, nl_ref, scal_ref, out_ref,
          sg1, sg2, se, gu, fu, acc0, acc1, av, bls, cdv, ncv) = refs
@@ -257,10 +273,10 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
         sg1[...] = jnp.where(bstart, go, NEG)
         se[...] = ninf
         sg2[...] = ninf
-        if not is_sw:
+        if (not is_sw) or swcd:
             cdv[...] = cd_ref[0, 0]
-            if ncol:
-                ncv[...] = nl_ref[0, 0]
+        if ncol:
+            ncv[...] = nl_ref[0, 0]
         acc0[...] = ninf
         acc1[...] = ninf
 
@@ -273,12 +289,13 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
         blvv = bls[...]
         if trans:
             bin_ = bl_ref[0, 0]
-        if cap or ncol or ngb or (trans and not is_sw):
+        has_cd = (not is_sw) or swcd  # cdv plane exists for this variant
+        if has_cd and (cap or neg or ngb or (trans and not is_sw)):
             cdvv = cdv[...]
-            if ncol:
-                ncvv = ncv[...]
             if trans:
                 cdin = cd_ref[0, 0]
+        if ncol:
+            ncvv = ncv[...]
         if trans:
             # per-BLOCK early updates (safe because chain_geometry pads W
             # by one K-block): the per-lane b-codes and NW capture
@@ -295,10 +312,10 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
                 blvv = jnp.where(band[None], bin_, blvv)
             else:
                 blvv = jnp.where(band, bin_, blvv)
-            if not is_sw:
+            if has_cd:
                 cdvv = jnp.where(band, cdin, cdvv)
-                if ncol:
-                    ncvv = jnp.where(band, nl_ref[0, 0], ncvv)
+            if ncol:
+                ncvv = jnp.where(band, nl_ref[0, 0], ncvv)
         if neg or ngb:
             # pre-transition cells in a transition block are pair c-1
             # PADs (the W hazard margin), so the band-updated rolling
@@ -320,11 +337,17 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
                                    jnp.asarray(POISON, f32), ss)
             e_new = jnp.maximum(SG1, SE)
             f_new = jnp.maximum(G_u, F_u)
-            if is_sw:
-                sd = sdrift(d)
-                e_new = jnp.maximum(e_new, sd)
-                f_new = jnp.maximum(f_new, sd)
             m_arg = SG2 + ss
+            if is_sw:
+                # SW zero floor, folded: clamping e/f each to sd and
+                # taking h = max(m, e_c, f_c) equals clamping h once
+                # (max distributes), and the un-clamped E/F STATES stay
+                # exact because sd grows by |ge| per diagonal, so the
+                # next diagonal's fresh floor dominates any stale floor
+                # a clamped state would have carried — one VPU op less
+                # per cell on the hot path
+                sd = sdrift(d)
+                m_arg = jnp.maximum(m_arg, sd)
             if ncol:
                 dfn = jnp.asarray(d, i32)
                 if cf32:
@@ -412,10 +435,10 @@ def _kernel2(*refs, is_sw, BS, LBt, P, K, W, m, bb, C, nsg, neg, nga,
         acc0[...], acc1[...] = a0v, a1v
         av[...] = avv
         bls[...] = blvv
-        if trans and not is_sw:
+        if trans and has_cd:
             cdv[...] = cdvv
-            if ncol:
-                ncv[...] = ncvv
+        if trans and ncol:
+            ncv[...] = ncvv
 
     # NW cdv transitions must run even in blocks with no capture hit, and
     # captures can fire outside the band — four specializations, each
@@ -466,9 +489,12 @@ def _pack_ilv2(v, nB, BS, P, C, LBt):
 
 
 def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
-            cf32=True, neg=False):
+            cf32=True, neg=False, need_cd=False):
     """jnp staging for :func:`pallas_scores2` (runs under jit): chained
-    a-windows, per-chunk b/capture blocks, capture-gate table."""
+    a-windows, per-chunk b/capture blocks, capture-gate table.
+    ``need_cd`` forces the per-lane cd plane for SW constrained modes
+    (they only use its nonzero-at-lane-nb-1 property, not the capture
+    values); the capture gate table stays NW-only."""
     B, LA = ac.shape
     _, LBt = bc.shape
     P, C, BS, nB, W, K, DK = (geo["P"], geo["C"], geo["BS"], geo["nB"],
@@ -518,7 +544,7 @@ def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
         bl = _pack_ilv2(bcp, nB, BS, P, C, LBt)
 
     cd = capg = None
-    if not is_sw:
+    if (not is_sw) or need_cd:
         # per-lane capture diagonals, split by chain parity: pair c's
         # corner H lands at lane nb-1 on diagonal c*W + na + nb
         cidx = jnp.arange(Bp, dtype=jnp.int32) % C
@@ -532,6 +558,7 @@ def _stage2(ac, bc, na, nb, geo, *, is_sw, subK=None, lut_np=0,
         sgn = jnp.where((cidx[:, None] & 1) == 0, 1, -1)
         cdm = jnp.where(onlane, cvals[:, None] * sgn, 0).astype(mdt)
         cd = _pack_ilv2(cdm, nB, BS, P, C, LBt)
+    if not is_sw:
         rows = jnp.arange(Bp, dtype=jnp.int32) // (BS * P * C)
         tcd = jnp.clip((cvals - 1) // K, 0, DK - 1)
         capg = jnp.zeros((nB, DK), jnp.int32).at[rows, tcd].set(1)
@@ -607,11 +634,11 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
     m = geo["m"]
     if codes_f32 is None:
         codes_f32 = False  # same-process A/B: int32 codes >= f32 everywhere
-    assert not ((neg or nga or ngb) and is_sw), \
-        "free-end-gap / no-gaps modes: NW only on the v2 path"
     assert not (nmm and lut_np), "no_mismatches needs equality scoring"
+    swcd = is_sw and (neg or ngb)  # SW last-b-row marker plane (round 5)
     st = _stage2(ac, bc, na, nb, geo, is_sw=is_sw, subK=subK,
-                 lut_np=lut_np, cf32=codes_f32, neg=neg or nga)
+                 lut_np=lut_np, cf32=codes_f32, neg=neg or nga,
+                 need_cd=swcd)
     f32 = jnp.float32
     go = jnp.asarray(gap_open, f32)
     ge = jnp.asarray(gap_extend, f32)
@@ -650,16 +677,25 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
         bl_spec,
     ]
     args = [st["aw"], st["bl"]]
+    chunk_spec = pl.BlockSpec(
+        (1, 1, BS, LN),
+        lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0))
     if not is_sw:
-        in_specs.append(pl.BlockSpec(
-            (1, 1, BS, LN),
-            lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+        in_specs.append(chunk_spec)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args += [st["cd"], st["capg"]]
         if neg or nga:
-            in_specs.append(pl.BlockSpec(
-                (1, 1, BS, LN),
-                lambda i, t: (i, jnp.minimum(t // m, C - 1), 0, 0)))
+            in_specs.append(chunk_spec)
+            args.append(st["nl"])
+    else:
+        # SW constrained modes (round 5): cd marker for neg/ngb, x==na
+        # diagonal plane for neg/nga — same rolling-chunk streams as NW,
+        # no capture gate (SW best rides the acc planes)
+        if swcd:
+            in_specs.append(chunk_spec)
+            args.append(st["cd"])
+        if neg or nga:
+            in_specs.append(chunk_spec)
             args.append(st["nl"])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     args.append(scal)
@@ -670,6 +706,11 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
         + [pltpu.VMEM((BS, LN), avdt), bl_scratch]
     if not is_sw:
         scratch += [pltpu.VMEM((BS, LN), mdt)]
+        if neg or nga:
+            scratch += [pltpu.VMEM((BS, LN), mdt)]
+    else:
+        if swcd:
+            scratch += [pltpu.VMEM((BS, LN), mdt)]
         if neg or nga:
             scratch += [pltpu.VMEM((BS, LN), mdt)]
 

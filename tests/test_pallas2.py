@@ -72,6 +72,23 @@ CASES = [
                                          no_gaps_in_a=True,
                                          no_end_gap_penalty=True),
      False, False, DNA, 8, 56, 60, 2),
+    # round 5: SW constrained modes on the chained scores kernel (the
+    # v2 dirs kernel keeps them NW-only) — same chunk-crossing lengths
+    # as the NW round-4 cases
+    ("sw_neg", lambda: ScoringConfig(2, -2, -4, -1,
+                                     no_end_gap_penalty=True),
+     True, False, DNA, 10, 56, 60, 2),
+    ("sw_nga", lambda: ScoringConfig(2, -2, -4, -1, no_gaps_in_a=True),
+     True, False, DNA, 10, 56, 60, 2),
+    ("sw_ngb", lambda: ScoringConfig(2, -2, -4, -1, no_gaps_in_b=True),
+     True, False, DNA, 10, 56, 60, 2),
+    ("sw_neg_lut", lambda: dataclasses.replace(
+        scoring_system_BLOSUM62(), no_end_gap_penalty=True),
+     True, True, PROT, 8, 56, 60, 2),
+    ("sw_nga_neg", lambda: ScoringConfig(2, -2, -4, -1,
+                                         no_gaps_in_a=True,
+                                         no_end_gap_penalty=True),
+     True, False, DNA, 8, 56, 60, 2),
 ]
 
 
@@ -125,10 +142,13 @@ def test_v2_gate_rejects_unsupported_modes():
     from seqalign_tpu.aligners import _v2_scores_eligible
 
     neg = ScoringConfig(1, -2, -4, -1, no_end_gap_penalty=True)
-    # round 4: free END gaps ride v2 for NW, stay v1 for SW
+    # round 5: free END gaps ride the v2 SCORES kernel for both NW and
+    # SW; the v2 DIRS kernel keeps SW constrained modes on v1
     assert _v2_scores_eligible(neg, True, None, 128, 128) == 0
     assert _v2_scores_eligible(neg, True, None, 128, 128,
-                               is_sw=True) is None
+                               is_sw=True) == 0
+    assert _v2_scores_eligible(neg, True, None, 128, 128,
+                               is_sw=True, dirs=True) is None
     pos = ScoringConfig(2, -3, 1, -1)  # gap_open > 0: G-fold invalid
     assert _v2_scores_eligible(pos, True, None, 128, 128) is None
     # round 4: single no-gaps flags ride v2 (NW); the BOTH-flags combo
