@@ -117,7 +117,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
     # mirror the aligners dispatch: eligible configs ride the round-3
     # chained kernel (pallas_dp2) for both scores and dirs
     v2 = _v2_scores_eligible(sc, inline, None if inline else subK, L, L,
-                             is_sw=is_sw)
+                             is_sw=is_sw, dirs=kind == "dirs")
 
     def make_many(V):
         @jax.jit
@@ -130,7 +130,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                         mismatch=np.int32(sc.mismatch),
                         subK=None if inline else subK,
                         interpret=interp, nsg=sc.no_start_gap_penalty,
-                        neg=sc.no_end_gap_penalty, lut_np=v2,
+                        neg=sc.no_end_gap_penalty, nga=sc.no_gaps_in_a,
+                        ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches,
+                        lut_np=v2,
                     )
                     acc = s.sum()
                 elif kind == "scores":
@@ -150,7 +152,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                         mismatch=np.int32(sc.mismatch),
                         subK=None if inline else subK,
                         interpret=interp, nsg=sc.no_start_gap_penalty,
-                        neg=sc.no_end_gap_penalty, lut_np=v2,
+                        neg=sc.no_end_gap_penalty, nga=sc.no_gaps_in_a,
+                        ngb=sc.no_gaps_in_b, nmm=sc.no_mismatches,
+                        lut_np=v2,
                     )
                     acc = d[0, 0].astype(jnp.int32).sum()
                     if m is not None:
@@ -218,6 +222,11 @@ def main():
 
         return dataclasses.replace(scoring_system_default(), **kw)
 
+    def dataclasses_replace_sw(**kw):
+        import dataclasses
+
+        return dataclasses.replace(scoring_system_sw_default(), **kw)
+
     sweep = []
     configs = [
         # (label, sc, B, L, kind, is_sw, lut, alpha)
@@ -231,7 +240,7 @@ def main():
          dna),
         ("nw_dirs_lutQ8_B256_L512", nwq, 256, 512, "dirs", False, True,
          dna),
-        # 24-letter protein matrix: the plane-streaming path
+        # 24-letter protein matrix: the v2 packed-LUT path (8 planes)
         ("sw_scores_blosum62_B128_L512", scoring_system_BLOSUM62(), 128,
          512, "scores", True, False, prot),
         # round-4 mode rows: the constrained/free-end recurrences now ride
@@ -244,6 +253,19 @@ def main():
          256, 512, "scores", False, False, dna),
         ("nw_scores_nomismatch_B256_L512", _flagged(no_mismatches=True),
          256, 512, "scores", False, False, dna),
+        # round-5 rows: SW dirs at the full batch, protein NW + a bigger
+        # protein batch, SW constrained scores on v2, and the 1-10kb
+        # wide-lane regime (VERDICT r4 items 3-5, 8)
+        ("sw_dirs_B256_L512", sw, 256, 512, "dirs", True, False, dna),
+        ("nw_scores_blosum62_B128_L512", scoring_system_BLOSUM62(), 128,
+         512, "scores", False, False, prot),
+        ("sw_scores_blosum62_B256_L512", scoring_system_BLOSUM62(), 256,
+         512, "scores", True, False, prot),
+        ("sw_scores_nogapsA_B256_L512",
+         dataclasses_replace_sw(no_gaps_in_a=True),
+         256, 512, "scores", True, False, dna),
+        ("nw_scores_B16_L6144", nw, 16, 6144, "scores", False, False,
+         dna),
     ]
     headline = None
     for label, sc, B, L, kind, is_sw, lut, alpha in configs:
@@ -348,7 +370,7 @@ def main_with_retry():
     # hard-exits if the bench outlives its budget.
     import threading
 
-    budget = int(os.environ.get("SEQALIGN_BENCH_TIMEOUT", "900"))
+    budget = int(os.environ.get("SEQALIGN_BENCH_TIMEOUT", "1400"))
     done = threading.Event()
 
     def _watchdog():

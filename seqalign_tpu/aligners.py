@@ -43,7 +43,11 @@ HOST_MAX_PAIRS = 32
 # Beyond this many cells per pair, a traceback fill routes to the chunked
 # boundary-carry path to bound device memory (the one-shot fill's skewed
 # substitution scores are ~8 transient bytes/cell).
-LONG_PAIR_CELLS = 64_000_000
+LONG_PAIR_CELLS = 112_000_000  # > 10240^2: 1-10kb reads never go per-pair
+# device dirs bytes in flight per alignment sub-batch (the full bucket
+# would be B * la * lb bytes — a 100-pair 10kb bucket is ~10GB)
+ALIGN_DIRS_BUDGET = int(os.environ.get("SEQALIGN_ALIGN_DIRS_BUDGET",
+                                       str(1_500_000_000)))
 
 # Placeholder substitution tables for the inline-mm kernel paths (the
 # kernels never read them; a fixed shape keeps one jit cache entry)
@@ -499,8 +503,28 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
         return None
     from .ops import dp
 
+    n = len(seqs_a)
+    # no minimum floor here (unlike _scores_auto): dirs memory is
+    # O(n*m) per pair, so padding a 1-pair long-sequence batch to 8
+    # would 8x the output tensor
+    npad = dp._next_pow2(n)
+    if npad != n:
+        # pow2 batch-count padding (round 5): ragged bucket sizes were a
+        # fresh jit shape per batch — the 1-10kb E2E align phase spent
+        # its wall in Mosaic recompiles.  Fillers record length 1 (the
+        # kernels poison PADA cells, so SW candidate harvest can't see
+        # them); every consumer indexes j < its own idx list, and the
+        # device walk just walks the fillers one trivial step.
+        seqs_a = list(seqs_a) + [""] * (npad - n)
+        seqs_b = list(seqs_b) + [""] * (npad - n)
+        if mins is not None:
+            mins = np.concatenate(
+                [np.asarray(mins, np.int64),
+                 np.full(npad - n, np.iinfo(np.int32).max, np.int64)])
     a, na = dp.pad_batch(seqs_a)
     b, nb = dp.pad_batch(seqs_b)
+    na[n:] = 1
+    nb[n:] = 1
     if min(na.min(initial=1), nb.min(initial=1)) < 1:
         return None  # empty seqs: corner capture starts at diagonal 2
     floor = _pallas_pad_floor()
@@ -550,8 +574,11 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
                              lb, is_sw=is_sw, dirs=True)
     # round-4 envelope lift: v2 dirs measured working at 4096 lanes on
     # TPU v5e (corner == scores kernel, traceback exact); 8192 compiles
-    # only at K=8 with a ~9min Mosaic compile — not shipped, v1 covers it
-    if v2 is not None and lb <= 4096:
+    # only at K=8 with a ~9min Mosaic compile — not shipped, v1 covers
+    # it.  SEQALIGN_DIRS2_LANES widens/narrows the envelope for
+    # experiments (tools/exp_dirs_wide.py).
+    if v2 is not None and lb <= int(os.environ.get(
+            "SEQALIGN_DIRS2_LANES", "4096")):
         fast = _pallas_dirs_fill2(sc, seqs_a, seqs_b, ac, bc, na, nb,
                                   is_sw=is_sw, mins=mins, la=la, lb=lb,
                                   lut_np=v2,
@@ -575,18 +602,38 @@ def _pallas_dirs_fill(sc: ScoringConfig, seqs_a, seqs_b, *, is_sw: bool,
             nmm=sc.no_mismatches,
         )
         geo = pack_geometry(la, lb, bs=bs, inline=inline or lut > 0)
-        dirs_np = np.asarray(dirs)
+        # NW walks on device (round 5): never eagerly fetch the dirs
+        # tensor — a wide bucket is hundreds of MB and the dev tunnel
+        # moves ~20MB/s, which dominated the 1-10kb E2E align phase.
+        # SW consumers (hit iteration, M planes) still read codes on
+        # host, so they keep the eager fetch.
+        dirs_np = np.asarray(dirs) if is_sw else None
         _note_dispatch("dirs")
     except Exception:
         _pallas_failed("dirs")
         return None
     corner_np = np.asarray(corner) if corner is not None else None
+    _cache = {"np": dirs_np}
 
-    def planes(j, _arr=dirs_np):
-        return unpack_pair_plane(_arr, j, geo["BS"], geo["P"], lb, geo["D"],
-                                 ilv=geo["ILV"])
+    def _fetch():
+        if _cache["np"] is None:
+            _cache["np"] = np.asarray(dirs)
+        return _cache["np"]
 
-    planes.code_at = _v1_code_at(dirs_np, geo, lb)
+    def planes(j):
+        return unpack_pair_plane(_fetch(), j, geo["BS"], geo["P"], lb,
+                                 geo["D"], ilv=geo["ILV"])
+
+    def _code_at(j, y, x):
+        return _v1_code_at(_fetch(), geo, lb)(j, y, x)
+
+    planes.code_at = _code_at
+    if not is_sw:
+        planes.device_walk = (
+            dirs, _v1_gather_cached(geo["BS"], geo["P"], geo["ILV"], lb,
+                                    len(seqs_a)))
+        if corner is not None:
+            planes.corner_dev = corner
 
     if is_sw and mins is not None:
         from .ops.pallas_dp import packed_to_pair_planes
@@ -745,6 +792,24 @@ def _sw_prewalk(walker, cands_list, na):
         return walk_many
 
     return pre, [mk(j) for j in range(len(cands_list))]
+
+
+@functools.lru_cache(maxsize=256)
+def _v1_gather_cached(BS, P, ilv, lb, B):
+    """Device-side gather for the v1 lane-packed dirs layout (mirrors
+    :func:`_v1_code_at`, but indexes the DEVICE tensor so the traceback
+    can walk without fetching the dirs bytes through the tunnel).
+    lru-cached so traceback._walk_jit sees one function id per
+    geometry."""
+    j = np.arange(B)
+    i, r = np.divmod(j, BS * P)
+    ss, pp = np.divmod(r, P)
+
+    def gather(dirs, X, Y):
+        lane = (Y - 1) * P + pp if ilv else pp * lb + (Y - 1)
+        return dirs[i, X + Y - 2, ss, lane]
+
+    return gather
 
 
 @functools.lru_cache(maxsize=256)
@@ -1003,41 +1068,53 @@ class NeedlemanWunsch:
                             results[i] = self.align_long(seqs_a[i],
                                                          seqs_b[i])
                 continue
-            ga = [seqs_a[i] for i in idx]
-            gb = [seqs_b[i] for i in idx]
-            fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=False)
-            if fast is not None:
-                planes, _, corner, na, nb, geo = fast
-                if hasattr(planes, "device_walk"):
-                    # on-device walk: only the ~1 byte/step op trace is
-                    # fetched, never the dirs tensor (a 51MB bucket fetch
-                    # measured 2.9s through the dev tunnel)
-                    dirs_dev, gather = planes.device_walk
-                    cap = int(np.max(np.asarray(na) + np.asarray(nb)))
-                    ops, score = nw_walk_device(
-                        dirs_dev, gather,
-                        getattr(planes, "corner_dev", corner),
-                        na, nb, cap)
-                    alns = nw_strings_from_ops(ga, gb, na, nb, ops, score)
-                else:
-                    # vectorized whole-bucket host walk (the per-pair
-                    # Python chase was 1000x the kernel fill)
-                    alns = nw_traceback_batch(ga, gb, na, nb,
-                                              planes.code_at, corner)
-                for j, i in enumerate(idx):
+            # sub-batch so the in-flight dirs tensor stays bounded (a
+            # 100-pair 10kb bucket would be ~10GB of device dirs).  The
+            # XLA fallback (lb past the 8192-lane v1 envelope)
+            # materializes int32 M/Ga/Gb planes alongside the codes, so
+            # it budgets ~20 bytes/cell instead of 1 (a B=8 10kb batch
+            # measured a 17GB HBM allocation failure)
+            per_cell = 1 if key[1] <= 8192 else 20
+            step = max(1, ALIGN_DIRS_BUDGET // (per_cell * key[0] * key[1]))
+            for s in range(0, len(idx), step):
+                sub = idx[s:s + step]
+                ga = [seqs_a[i] for i in sub]
+                gb = [seqs_b[i] for i in sub]
+                fast = _pallas_dirs_fill(self.scoring, ga, gb, is_sw=False)
+                if fast is not None:
+                    planes, _, corner, na, nb, geo = fast
+                    if hasattr(planes, "device_walk"):
+                        # on-device walk: only the ~1 byte/step op trace
+                        # is fetched, never the dirs tensor (a 51MB
+                        # bucket fetch measured 2.9s through the tunnel)
+                        dirs_dev, gather = planes.device_walk
+                        cap = int(np.max(np.asarray(na)[:len(sub)]
+                                         + np.asarray(nb)[:len(sub)]))
+                        ops, score = nw_walk_device(
+                            dirs_dev, gather,
+                            getattr(planes, "corner_dev", corner),
+                            na, nb, cap)
+                        alns = nw_strings_from_ops(ga, gb, na, nb, ops,
+                                                   score)
+                    else:
+                        # vectorized whole-bucket host walk (the per-pair
+                        # Python chase was 1000x the kernel fill)
+                        alns = nw_traceback_batch(ga, gb, na, nb,
+                                                  planes.code_at, corner)
+                    for j, i in enumerate(sub):
+                        results[i] = alns[j]
+                    continue
+                out, na, nb = dp.fill_batch(
+                    self.scoring, ga, gb, is_sw=False, emit_dirs=True,
+                    pow2_pad=True,
+                )
+                corner = np.asarray(out.corner)
+                cap = int(np.max(np.asarray(na) + np.asarray(nb)))
+                ops, score = nw_walk_device(out.dirs, _xla_gather(len(ga)),
+                                            corner, na, nb, cap)
+                alns = nw_strings_from_ops(ga, gb, na, nb, ops, score)
+                for j, i in enumerate(sub):
                     results[i] = alns[j]
-                continue
-            out, na, nb = dp.fill_batch(
-                self.scoring, ga, gb, is_sw=False, emit_dirs=True,
-                pow2_pad=True,
-            )
-            corner = np.asarray(out.corner)
-            cap = int(np.max(np.asarray(na) + np.asarray(nb)))
-            ops, score = nw_walk_device(out.dirs, _xla_gather(len(ga)),
-                                        corner, na, nb, cap)
-            alns = nw_strings_from_ops(ga, gb, na, nb, ops, score)
-            for j, i in enumerate(idx):
-                results[i] = alns[j]
         return results  # type: ignore[return-value]
 
     def score(self, seq_a: str, seq_b: str) -> int:

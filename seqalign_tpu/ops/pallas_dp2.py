@@ -83,11 +83,12 @@ def f32_safe2(sc, LA, LBt, C, W) -> bool:
 
 def lut2_planes(Ka: int) -> int:
     """Packed-LUT plane count for an a-alphabet of Ka letters (0 = mode
-    unavailable): 4 scores per int32 plane, tree depths 1/2/4/8."""
-    for np_ in (1, 2, 4, 8):
-        if Ka <= 4 * np_:
-            return np_
-    return 0
+    unavailable): 4 scores per int32 plane, ceil(Ka/4) planes up to 8.
+    Non-pow2 counts are fine — the select tree passes the odd node
+    through a level (6 planes = 5 selects vs 8 planes' 7, and two fewer
+    VMEM planes; BLOSUM/PAM's 24 letters land exactly there)."""
+    np_ = -(-Ka // 4)
+    return np_ if np_ <= 8 else 0
 
 
 def lut2_eligible(sc, subK) -> int:
@@ -168,14 +169,17 @@ def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60,
 
 def _lut_tree(plv, avv, lut_np):
     """Select the packed plane for each lane's current a-letter: binary
-    tree over the high bits of the code (log2(lut_np) select levels),
-    then extract the letter's byte (code & 3) and un-bias."""
+    tree over the high bits of the code (ceil(log2(lut_np)) select
+    levels; a non-pow2 plane count passes its odd node through — codes
+    only ever index real planes, so the phantom sibling is never
+    selected), then extract the letter's byte (code & 3) and un-bias."""
     hi = avv >> 2
     ps = [plv[i] for i in range(lut_np)]
     bit = 1
     while len(ps) > 1:
         sel = (hi & bit) != 0
-        ps = [jnp.where(sel, ps[i + 1], ps[i])
+        ps = [jnp.where(sel, ps[i + 1], ps[i]) if i + 1 < len(ps)
+              else ps[i]
               for i in range(0, len(ps), 2)]
         bit <<= 1
     byte = (ps[0] >> ((avv & 3) << 3)) & 0xFF
@@ -840,8 +844,18 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
             for r in (cp0, cp1, cp2, cp3, cp4, cp5):
                 r[...] = ninf
 
-    def pick(ga_ok, gb_ok, m_ok):
-        # enum Matrix: MATCH=0, GAP_A=1, GAP_B=2; 3 = traceback-fail
+    def pick(ga_ok, gb_ok, m_ok=None):
+        # enum Matrix: MATCH=0, GAP_A=1, GAP_B=2; 3 = traceback-fail.
+        # When the channel's value is the plain max of its three
+        # candidates (no external floor/mask was applied after the max),
+        # one candidate ALWAYS matches, so the MATCH arm is the forced
+        # default and its compare+select drop out (m_ok=None).  Callers
+        # keep the 3-arm exactly where a floor (SW's sd) or mask
+        # (nga/ngb NEG) can make every compare miss — there the 3 is a
+        # real "channel unreachable / local start" marker.
+        if m_ok is None:
+            return jnp.where(ga_ok, 1,
+                             jnp.where(gb_ok, 2, 0)).astype(jnp.int32)
         return jnp.where(
             ga_ok, 1, jnp.where(gb_ok, 2, jnp.where(m_ok, 0, 3))
         ).astype(jnp.int32)
@@ -941,11 +955,13 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
             # direction codes — drift-invariant equalities on the same
             # values the fill just computed (pallas_dp._dirs_kernel
             # semantics, alignment.c:244-350)
-            dm = pick(ga2s == amax, gb2s == amax, m2s == amax)
+            dm = pick(ga2s == amax, gb2s == amax)  # amax is one of them
             if is_sw:
                 dm = jnp.where(m_arg == Mv, dm, 3)
-            dga = pick(s2 == ga_v, s3 == ga_v, s1 == ga_v)
-            dgb = pick(t2 == gb_v, t3 == gb_v, t1 == gb_v)
+            dga = pick(s2 == ga_v, s3 == ga_v,
+                       (s1 == ga_v) if (is_sw or nga) else None)
+            dgb = pick(t2 == gb_v, t3 == gb_v,
+                       (t1 == gb_v) if (is_sw or ngb) else None)
             dirs_ref[0, 0, k] = (dm | (dga << 2) | (dgb << 4)).astype(
                 jnp.uint8)
             if emit_m:

@@ -35,17 +35,28 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-# The XLA CPU backend's LLVM JIT occasionally segfaults inside
-# backend_compile after ~1400 jit compilations in one process (observed
-# twice in round 4, different tests each time, always late in the suite,
-# 125GB RAM free — not OOM).  Periodically dropping the executable caches
-# bounds the JIT arena and has eliminated the crash in repeated full runs;
-# the recompile cost is a few seconds over the whole suite.
+# The XLA CPU backend's LLVM JIT occasionally segfaults/aborts inside
+# backend_compile after many jit compilations in one process (observed
+# in rounds 4 and 5, always in a LATER compile — typically the big
+# 8-shard shard_map graphs of test_parallel — with 120GB RAM free; not
+# OOM, and round-5 bisects ruled out stack exhaustion: it reproduces
+# with ulimit -s unlimited).  Dropping the executable caches bounds the
+# JIT arena and eliminates the crash — but the round-4 every-200-tests
+# counter was POSITIONAL: adding tests moved the clear boundary away
+# from the shard-map compiles and the crash returned (deterministic in
+# a pallas+pallas2+parallel 3-file run).  Clear at every module
+# boundary instead (order-independent; recompile cost is a few seconds
+# over the whole suite), plus the counter as a backstop within huge
+# modules.
 _TESTS_BETWEEN_CACHE_CLEARS = 200
 _test_counter = {"n": 0}
 
 
 def pytest_runtest_teardown(item, nextitem):
     _test_counter["n"] += 1
-    if _test_counter["n"] % _TESTS_BETWEEN_CACHE_CLEARS == 0:
+    if nextitem is not None and \
+            item.module is not getattr(nextitem, "module", None):
+        _test_counter["n"] = 0
+        jax.clear_caches()
+    elif _test_counter["n"] % _TESTS_BETWEEN_CACHE_CLEARS == 0:
         jax.clear_caches()

@@ -28,12 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALPHA = np.frombuffer(b"acgt", dtype=np.uint8)
 
 
-def _mutate(rng, seq: np.ndarray, sub=0.03, indel=0.005) -> np.ndarray:
-    """A realistic partner read: substitutions + short indels."""
+def _mutate(rng, crng, seq: np.ndarray, sub=0.03, indel=0.005) -> np.ndarray:
+    """A realistic partner read: substitutions + short indels.  Length-
+    affecting draws (indel count/positions/sizes) come from ``rng``,
+    letters from ``crng`` — see :func:`gen_input`."""
     n = len(seq)
     out = seq.copy()
-    m = rng.random(n) < sub
-    out[m] = ALPHA[rng.integers(0, 4, int(m.sum()))]
+    m = crng.random(n) < sub
+    out[m] = ALPHA[crng.integers(0, 4, int(m.sum()))]
     # indels: delete or insert at a few positions
     k = rng.poisson(indel * n)
     for _ in range(int(k)):
@@ -42,21 +44,27 @@ def _mutate(rng, seq: np.ndarray, sub=0.03, indel=0.005) -> np.ndarray:
         if rng.random() < 0.5:
             out = np.delete(out, np.s_[p:p + ln])
         else:
-            out = np.insert(out, p, ALPHA[rng.integers(0, 4, ln)])
+            out = np.insert(out, p, ALPHA[crng.integers(0, 4, ln)])
     return out
 
 
-def gen_input(path: str, n_pairs: int, lo: int, hi: int, seed: int):
+def gen_input(path: str, n_pairs: int, lo: int, hi: int, seed: int,
+              content_seed: int):
     """Write n_pairs read pairs (read, mutated copy) as one gzip FASTA —
     two consecutive records per pair, the reference's --file pairing rule
-    (alignment_cmdline.c:578-640)."""
+    (alignment_cmdline.c:578-640).  Lengths come from ``seed`` and
+    letters from ``content_seed`` so a cold and a warm input can share
+    every padded bucket shape (no recompiles in the warm pass) while
+    carrying different data (the dev tunnel caches identical dispatches
+    — reusing one file would time the cache, not the chip)."""
     rng = np.random.default_rng(seed)
+    crng = np.random.default_rng(content_seed)
     t0 = time.perf_counter()
     with gzip.open(path, "wb", compresslevel=1) as fh:
         for i in range(n_pairs):
             la = int(rng.integers(lo, hi + 1))
-            a = ALPHA[rng.integers(0, 4, la)]
-            b = _mutate(rng, a)
+            a = ALPHA[crng.integers(0, 4, la)]
+            b = _mutate(rng, crng, a)
             fh.write(b">p%d/1\n" % i)
             fh.write(a.tobytes() + b"\n")
             fh.write(b">p%d/2\n" % i)
@@ -102,24 +110,28 @@ def main():
 
     sc = scoring_system_default()
 
-    path = args.input or "/tmp/seqalign_e2e_%d_%d_%d_%d.fa.gz" % (
+    base = "/tmp/seqalign_e2e_%d_%d_%d_%d" % (
         args.pairs, args.min_len, args.max_len, args.seed)
-    gen_s = None
-    if not os.path.exists(path):
-        gen_s = gen_input(path, args.pairs, args.min_len, args.max_len,
-                          args.seed)
-        sys.stderr.write("e2e: generated %s in %.1fs\n" % (path, gen_s))
+    path_cold = args.input or base + "c.fa.gz"
+    path = args.input or base + "w.fa.gz"
+    for p, cseed in ((path_cold, args.seed), (path, args.seed + 1)):
+        if not os.path.exists(p):
+            gen_s = gen_input(p, args.pairs, args.min_len, args.max_len,
+                              args.seed, cseed)
+            sys.stderr.write("e2e: generated %s in %.1fs\n" % (p, gen_s))
     in_bytes = os.path.getsize(path)
 
     # ---- scores phase: gzip stream -> bucketed deferred fills -> fetch.
-    # Two passes over the SAME file in one process: the cold pass pays
-    # one jit compile per padded bucket shape (~10s each through the dev
-    # tunnel; a production deployment persists these), the warm pass is
-    # the steady-state rate covering IO + pack + fill + fetch.
-    def scores_pass():
+    # Two files with identical length distributions in one process: the
+    # cold pass (file A) pays one jit compile per padded bucket shape
+    # (~10s each through the dev tunnel; a production deployment
+    # persists these), the warm pass (file B — different letters, so the
+    # tunnel's dispatch cache cannot serve it) is the steady-state rate
+    # covering IO + pack + fill + fetch.
+    def scores_pass(p):
         t0 = time.perf_counter()
         pairs_iter = ((i, ra[1], rb[1])
-                      for i, ra, rb in seqio.read_pairs(path))
+                      for i, ra, rb in seqio.read_pairs(p))
         n = 0
         checksum = np.int64(0)
         score_first = None
@@ -131,27 +143,35 @@ def main():
                 score_first = int(scores[list(idx).index(0)])
         return time.perf_counter() - t0, n, checksum, score_first
 
-    wall_cold, n, checksum, score_first = scores_pass()
+    wall_cold, n, _, _ = scores_pass(path_cold)
     sys.stderr.write("e2e: cold scores pass %.1fs\n" % wall_cold)
-    wall_scores, n2, checksum2, _ = scores_pass()
-    assert n2 == n and checksum2 == checksum  # determinism across passes
+    wall_scores, n2, checksum, score_first = scores_pass(path)
+    assert n2 == n
+    _, _, checksum2, _ = scores_pass(path)  # determinism (untimed rerun)
+    assert checksum2 == checksum
     # cell count from a cheap metadata pass (lengths only)
     cells = 0
     for _, ra, rb in seqio.read_pairs(path):
         cells += len(ra[1]) * len(rb[1])
     gcups = cells / wall_scores / 1e9
 
-    # ---- align phase: full traceback on a subset (same cold/warm split)
-    sub_a, sub_b = [], []
-    for i, ra, rb in seqio.read_pairs(path):
-        if len(sub_a) >= args.align_pairs:
-            break
-        sub_a.append(ra[1])
-        sub_b.append(rb[1])
+    # ---- align phase: full traceback on a subset (cold subset from
+    # file A compiles the dirs shapes; the timed subset is file B's)
+    def subset(p):
+        sa, sb = [], []
+        for i, ra, rb in seqio.read_pairs(p):
+            if len(sa) >= args.align_pairs:
+                break
+            sa.append(ra[1])
+            sb.append(rb[1])
+        return sa, sb
+
     nw = NeedlemanWunsch(sc)
+    ca, cb = subset(path_cold)
     t1 = time.perf_counter()
-    alns = nw.align_batch(sub_a, sub_b)
+    nw.align_batch(ca, cb)
     wall_align_cold = time.perf_counter() - t1
+    sub_a, sub_b = subset(path)
     t1 = time.perf_counter()
     alns = nw.align_batch(sub_a, sub_b)
     wall_align = time.perf_counter() - t1
