@@ -131,12 +131,12 @@ def chain_geometry(B, LA, LBt, *, K=16, chain=0, bs=0, state_bytes=60,
         # chunk below the issue-efficiency knee (C=8/BS=32: 84 vs 104).
         cap = 1 if LBt <= 128 else (2 if LBt <= 256 else 4)
         if lut_np >= 4:
-            # big packed-LUT modes (protein alphabets): the lut planes
-            # (lut_np * BS * LN int32) dominate VMEM, so deep chains
-            # force BS below the issue-efficiency knee — C=2/BS=64
-            # measured 47-55 GCUPS vs C=4/BS=32's 44-48 (BLOSUM62 SW,
-            # B=128 L=512, same-process sweep, tools/tune_dirs2.py)
-            cap = min(cap, 2)
+            # big packed-LUT modes (protein alphabets): deep chains only
+            # pay off while the batch keeps >=64 sublanes per chunk —
+            # C=2/BS=64 measured 47-55 GCUPS vs C=4/BS=32's 44-48 at
+            # B=128 (round 4), but C=4/BS=64 measured best at B=256
+            # (51.0 vs C=2's 49.7, round-5 same-process A/B)
+            cap = min(cap, max(2, B // (P * 64)))
         chain = max(1, min(cap, B // (P * 32)))
     C = chain
     if bs <= 0:

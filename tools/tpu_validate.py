@@ -133,6 +133,17 @@ def main():
                                                 no_mismatches=True),
          dna, False, (1, 300), 8),
         ("sw_lcs_recipe", lcs_sc, dna, True, (20, 300), 6),
+        # round 5: SW constrained modes ride the v2 SCORES kernel (dirs
+        # stay v1) — alignment.c:121-155 with is_sw=1
+        ("sw_free_endgaps", lambda: ScoringConfig(
+            2, -2, -4, -1, no_end_gap_penalty=True), dna, True,
+         (30, 300), 6),
+        ("sw_nogaps_a", lambda: ScoringConfig(2, -2, -4, -1,
+                                              no_gaps_in_a=True),
+         dna, True, (30, 300), 6),
+        ("sw_nogaps_b", lambda: ScoringConfig(2, -2, -4, -1,
+                                              no_gaps_in_b=True),
+         dna, True, (30, 300), 6),
     ]
     if not quick:
         scenarios += [
@@ -143,6 +154,13 @@ def main():
             ("nw_wide_lut_L1800", nwq, dnan, False, (1600, 1800), 4),
             ("nw_wide_L3900", scoring_system_default, dna, False,
              (3700, 3900), 2),
+            # round 5: the 1-10kb regime — wide-lane v2 scores + v1 dirs
+            # with the on-device walk (no dirs fetch).  The >8192-lane
+            # XLA tier has no Pallas dispatch to compare (PALLAS=off is
+            # the same route), so its parity lives in
+            # tools/exp_dirs_wide.py's host-DP assert instead.
+            ("nw_wide_L6000", scoring_system_default, dna, False,
+             (5800, 6000), 2),
         ]
 
     results = []
