@@ -73,7 +73,7 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
         TL, f32_safe, pallas_fill_dirs, pallas_scores,
     )
     from seqalign_tpu.ops.pallas_dp2 import (
-        pallas_fill_dirs2, pallas_scores2,
+        m16_safe, pallas_fill_dirs2, pallas_scores2,
     )
 
     interp = jax.default_backend() == "cpu"  # CI smoke: interpret mode
@@ -148,7 +148,9 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
                 elif v2 is not None:
                     d, m, corner = pallas_fill_dirs2(
                         aa, bc, na, nb, go, ge, is_sw=is_sw,
-                        emit_m=is_sw, match=np.int32(sc.match),
+                        emit_m=is_sw,
+                        m_i16=is_sw and m16_safe(sc, L, L),
+                        match=np.int32(sc.match),
                         mismatch=np.int32(sc.mismatch),
                         subK=None if inline else subK,
                         interpret=interp, nsg=sc.no_start_gap_penalty,

@@ -664,7 +664,7 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
 
     from .ops import dp
     from .ops.pallas_dp2 import (
-        chain_geometry, pallas_fill_dirs2, pair_planes_device2,
+        chain_geometry, m16_safe, pallas_fill_dirs2, pair_planes_device2,
         unpack_pair_plane2,
     )
 
@@ -676,6 +676,7 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
             jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
             jnp.asarray(nb), np.int32(sc.gap_open),
             np.int32(sc.gap_extend), is_sw=is_sw, emit_m=is_sw,
+            m_i16=is_sw and m16_safe(sc, la, lb),
             match=np.int32(sc.match), mismatch=np.int32(sc.mismatch),
             subK=None if subK is None else jnp.asarray(subK),
             interpret=_pallas_mode() == "interpret", unroll=unroll,
@@ -703,6 +704,8 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
                                     lut_np, len(seqs_a))
         elif mdev is not None:
             m_np = np.asarray(mdev)
+            if m_np.dtype == np.int16:  # int16 emission: host
+                m_np = m_np.astype(np.int32)  # consumers expect int32
 
             def m_part(j, _arr=m_np):
                 return unpack_pair_plane2(_arr, j, geo, la, lb)

@@ -91,6 +91,16 @@ def lut2_planes(Ka: int) -> int:
     return np_ if np_ <= 8 else 0
 
 
+def m16_safe(sc, LA, LBt) -> bool:
+    """Gate for int16 SW M-plane emission (``pallas_fill_dirs2``
+    m_i16): every undrifted SW M value lies in [0, bound] — the
+    reference floors each channel at min=0 (alignment.c:112-115) and
+    the kernel's poisoned pad cells floor to the same sd — so int16 is
+    bit-exact whenever the best possible score fits."""
+    _, tmx = sc.true_penalty_bounds()
+    return max(int(tmx), 0) * min(LA, LBt) < 32000
+
+
 def lut2_eligible(sc, subK) -> int:
     """Packed-LUT mode gate -> plane count (0 = ineligible).  The b-pad
     bake (-128 byte) keeps pad cells below any real cell only while
@@ -767,8 +777,8 @@ def pallas_scores2(ac, bc, na, nb, gap_open, gap_extend, *,
     return vals[:B].astype(jnp.int32)
 
 
-def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
-                  neg, nga, ngb, lut_np, cf32):
+def _dirs_kernel2(*refs, is_sw, emit_m, m_i16, BS, LBt, P, K, W, m, bb,
+                  C, nsg, neg, nga, ngb, lut_np, cf32):
     """Chained direction-code fill: three-matrix recurrence in drifted
     space emitting v1-compatible packed 2-bit codes per diagonal (and the
     undrifted M matrix for SW candidates).  Same chunk/transition/capture
@@ -966,9 +976,17 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
                 jnp.uint8)
             if emit_m:
                 # undrift in-kernel: consumers (sw_extract_candidates,
-                # ChunkedM) see reference M values
+                # ChunkedM) see reference M values.  SW M is exactly
+                # representable in int16 when the caller's m16_safe gate
+                # holds: every channel carries the reference's min=0
+                # floor (alignment.c:112-115 MAX4), Mv = max(m_arg, sd)
+                # here, and poisoned pad cells floor to sd too — so the
+                # undrifted value lies in [0, max_match * min(na, nb)],
+                # and halving the plane bytes halves the kernel's
+                # dominant HBM write stream
                 m_ref[0, 0, k] = (Mv + ge * jnp.asarray(d, i32)
-                                  .astype(f32)).astype(jnp.int32)
+                                  .astype(f32)).astype(
+                    jnp.int16 if m_i16 else jnp.int32)
             if trans:
                 # Boundary injections (all three channels — unlike
                 # _kernel2, ga cannot propagate naturally here: the
@@ -1081,12 +1099,13 @@ def _dirs_kernel2(*refs, is_sw, emit_m, BS, LBt, P, K, W, m, bb, C, nsg,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_sw", "emit_m", "interpret", "unroll", "bs",
-                     "chain", "nsg", "neg", "nga", "ngb", "nmm",
+    static_argnames=("is_sw", "emit_m", "m_i16", "interpret", "unroll",
+                     "bs", "chain", "nsg", "neg", "nga", "ngb", "nmm",
                      "lut_np", "codes_f32"),
 )
 def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
-                      is_sw: bool, emit_m: bool, match=None,
+                      is_sw: bool, emit_m: bool, m_i16: bool = False,
+                      match=None,
                       mismatch=None, subK=None,
                       interpret: bool = False, unroll: int = 16,
                       bs: int = 0, chain: int = 0, nsg: bool = False,
@@ -1133,9 +1152,9 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
     scal = jnp.stack([go, ge, MT, MM])
 
     kernel = functools.partial(
-        _dirs_kernel2, is_sw=is_sw, emit_m=emit_m, BS=BS, LBt=LBt, P=P,
-        K=K, W=W, m=m, bb=geo["bb"], C=C, nsg=nsg, neg=neg, nga=nga,
-        ngb=ngb, lut_np=lut_np, cf32=codes_f32)
+        _dirs_kernel2, is_sw=is_sw, emit_m=emit_m, m_i16=m_i16, BS=BS,
+        LBt=LBt, P=P, K=K, W=W, m=m, bb=geo["bb"], C=C, nsg=nsg,
+        neg=neg, nga=nga, ngb=ngb, lut_np=lut_np, cf32=codes_f32)
     if lut_np > 0:
         bl_spec = pl.BlockSpec(
             (1, 1, lut_np, BS, LN),
@@ -1176,7 +1195,9 @@ def pallas_fill_dirs2(ac, bc, na, nb, gap_open, gap_extend, *,
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((nB, DK, K, BS, LN), jnp.uint8),
-        jax.ShapeDtypeStruct(mshape, jnp.int32),
+        jax.ShapeDtypeStruct(mshape,
+                             jnp.int16 if (emit_m and m_i16)
+                             else jnp.int32),
     ]
     avdt = jnp.int32 if (lut_np > 0 or not codes_f32) else jnp.float32
     mdt = jnp.float32 if codes_f32 else jnp.int32
@@ -1271,4 +1292,6 @@ def pair_planes_device2(planes, geo: dict, LA: int, LBt: int, B: int):
     # (nB, D, C, BS, LBt, P) -> (nB, BS, P, C, D, LBt)
     x = x.transpose(0, 3, 5, 2, 1, 4)
     x = x.reshape(nB * BS * P * C, D, LBt)
+    if x.dtype == jnp.int16:  # int16 M emission (m16_safe): consumers
+        x = x.astype(jnp.int32)  # (sw_extract_candidates) expect int32
     return jnp.pad(x[:B], ((0, 0), (0, 0), (1, 0)))
