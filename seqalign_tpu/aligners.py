@@ -732,6 +732,11 @@ def _pallas_dirs_fill2(sc: ScoringConfig, seqs_a, seqs_b, ac, bc, na, nb,
 
 
 _SW_PREWALK = 16  # candidates pre-walked per pair in the batched round
+# device-walker cutover: above this many harvested candidates per pair,
+# per-hit device walks (one tunnel round trip each past the prewalk)
+# lose to fetching the dirs once and walking on host
+_SW_DEVWALK_CANDS = int(os.environ.get("SEQALIGN_SW_DEVWALK_CANDS",
+                                       "4096"))
 
 
 def _v2_sw_walker(sc, dirs_dev, geo, ac, bc, subK, lut_np, B):
@@ -1286,9 +1291,19 @@ class SmithWaterman:
             if fast is not None:
                 planes, m_part, _, na, nb, geo = fast
                 pre = walkers = None
-                if mins is not None and hasattr(planes, "sw_walk"):
+                if mins is not None and hasattr(planes, "sw_walk") and \
+                        all(len(m_part[j][0]) <= _SW_DEVWALK_CANDS
+                            for j in range(len(idx))):
                     # batched device pre-walk: hit paths come back as op
-                    # traces, the dirs tensor never transfers
+                    # traces, the dirs tensor never transfers.  Only a
+                    # WIN while the candidate set is small (a real
+                    # min-score hint): each deeper walk is a ~25ms
+                    # tunnel round trip, so a hint-less wide pair
+                    # (min=1 harvests ~every cell — 1.8M candidates at
+                    # L~1300 measured) must fetch the dirs once and
+                    # walk on host instead (the round-4 envelope lift
+                    # silently put such pairs on the device walker;
+                    # TPU_VALIDATE sw_wide_L1500 wedged for hours)
                     pre, walkers = _sw_prewalk(planes.sw_walk, m_part,
                                                planes.sw_na)
                 for j, i in enumerate(idx):

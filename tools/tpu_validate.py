@@ -163,10 +163,26 @@ def main():
              (5800, 6000), 2),
         ]
 
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = sys.argv[i + 1]
     results = []
     fails = 0
     os.environ["SEQALIGN_FORCE"] = "device"
+
+    def _dump_partial():
+        # incremental dump: a wedged tunnel mid-sweep must not lose the
+        # completed scenarios (round 5: sw_wide_L1500 wedged twice)
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "TPU_VALIDATE_partial.json")
+        with open(path, "w") as fh:
+            json.dump({"backend": backend, "fails": fails,
+                       "results": results, "partial": True}, fh, indent=1)
+
     for label, mk, alpha, is_sw, (lo, hi), B in scenarios:
+        if only and only not in label:
+            continue
         rng = np.random.default_rng(_seed(label))
         sc = mk()
         # the device pin below must actually hold: the NW wrap-risk regime
@@ -243,6 +259,7 @@ def main():
         results.append(rec)
         fails += status != "OK"
         print(json.dumps(rec), flush=True)
+        _dump_partial()
 
     # chunked long fill through the Pallas dirs kernel: equality (inline)
     # and LUT scoring carry paths, pallas vs XLA-off (dp.fill_chunked)
@@ -291,6 +308,7 @@ def main():
             results.append(rec)
             fails += status != "OK"
             print(json.dumps(rec), flush=True)
+            _dump_partial()
 
     out = {"backend": backend, "fails": fails, "results": results}
     path = os.path.join(os.path.dirname(os.path.dirname(
