@@ -81,6 +81,14 @@ def main():
     ap.add_argument("--max-len", type=int, default=10000)
     ap.add_argument("--seed", type=int, default=4)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--flush-cells", type=int, default=2 ** 31,
+                    help="padded cells per dispatched bucket batch "
+                    "(library default).  Raising it (e.g. 2^33) should "
+                    "amortize the ~25ms tunnel dispatch latency — the "
+                    "committed E2E_r05 warm pass spent ~4s of 9.9s on "
+                    "~175 dispatches — but the bigger-batch variant was "
+                    "not re-measured before the dev tunnel went down, "
+                    "so the default stays at the artifact's setting")
     ap.add_argument("--out", default=None)
     ap.add_argument("--input", default=None,
                     help="reuse an existing FASTA (skips generation)")
@@ -136,7 +144,8 @@ def main():
         checksum = np.int64(0)
         score_first = None
         for idx, scores in score_pairs_stream(sc, pairs_iter, is_sw=False,
-                                              flush_pairs=args.batch):
+                                              flush_pairs=args.batch,
+                                              flush_cells=args.flush_cells):
             n += len(idx)
             checksum += np.int64(scores.astype(np.int64).sum())
             if score_first is None and 0 in idx:
