@@ -290,3 +290,55 @@ def test_v2_dirs_end_to_end(case):
             want = host_dp.nw_align(sc, seqs_a[j], seqs_b[j])
             assert (aln.result_a, aln.result_b, aln.score) == (
                 want.result_a, want.result_b, want.score), (name, j)
+
+
+def test_lut2_planes_non_pow2():
+    """Round 5: plane counts are ceil(Ka/4) (non-pow2 trees pass the odd
+    node through) — BLOSUM's 24 letters take 6 planes, not 8."""
+    from seqalign_tpu.ops.pallas_dp2 import lut2_planes
+
+    assert [lut2_planes(k) for k in (1, 4, 5, 8, 16, 17, 20, 24, 32)] \
+        == [1, 1, 2, 2, 4, 5, 5, 6, 8]
+    assert lut2_planes(33) == 0
+
+
+def test_m16_safe_gate():
+    """int16 SW M emission only when the best possible score fits."""
+    from seqalign_tpu.ops.pallas_dp2 import m16_safe
+
+    sc = ScoringConfig(2, -2, -4, -1)
+    assert m16_safe(sc, 512, 512)
+    assert not m16_safe(sc, 20000, 20000)
+
+
+def test_sw_m16_planes_bit_exact():
+    """SW dirs with int16 M emission matches the int32 emission exactly
+    (interpret mode; the kernel-level analogue of the on-chip A/B)."""
+    from seqalign_tpu.ops.pallas_dp2 import (
+        chain_geometry, pallas_fill_dirs2, pair_planes_device2,
+    )
+    from seqalign_tpu.scoring.presets import scoring_system_sw_default
+
+    sc = scoring_system_sw_default()
+    rng = np.random.default_rng(77)
+    lutarr = np.frombuffer(DNA, dtype=np.uint8)
+    seqs = [bytes(lutarr[rng.integers(0, 4, int(n))]).decode()
+            for n in rng.integers(10, 48, 8)]
+    a, na = dp.pad_batch(seqs, pad_to=48)
+    ac, bc = dp.compact_inputs_mm(sc, a, a)
+    outs = {}
+    for m16 in (False, True):
+        d, mdev, _ = pallas_fill_dirs2(
+            jnp.asarray(ac), jnp.asarray(bc), jnp.asarray(na),
+            jnp.asarray(na), np.int32(sc.gap_open),
+            np.int32(sc.gap_extend), is_sw=True, emit_m=True,
+            m_i16=m16, match=np.int32(sc.match),
+            mismatch=np.int32(sc.mismatch), interpret=True, chain=2,
+            bs=8)
+        geo = chain_geometry(8, 48, 48, chain=2, bs=8, state_bytes=140)
+        outs[m16] = (np.asarray(d),
+                     np.asarray(pair_planes_device2(mdev, geo, 48, 48,
+                                                    8)))
+    np.testing.assert_array_equal(outs[False][0], outs[True][0])
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    assert outs[True][1].dtype == np.int32  # consumers see int32

@@ -161,3 +161,32 @@ def test_cli_output_identical_with_pruning(monkeypatch, tmp_path, capsys):
     main(["sw", "--pretty", "--printseq", "--file", str(fa)])
     dev_out = capsys.readouterr().out
     assert dev_out == host_out
+
+
+def test_device_walker_candidate_gate(monkeypatch):
+    """Round 5: hit streams are identical whether the iterator uses the
+    batched device pre-walk (small candidate sets) or the dirs-fetch
+    host walk (the gate's fallback for hint-less wide pairs, where
+    per-hit device walks would pay a tunnel round trip each)."""
+    import seqalign_tpu.aligners as aligners
+    from seqalign_tpu.aligners import SmithWaterman
+
+    monkeypatch.setenv("SEQALIGN_PALLAS", "interpret")
+    monkeypatch.setenv("SEQALIGN_FORCE", "device")
+    rng = np.random.default_rng(42)
+    dna = list("acgt")
+    sa = ["".join(rng.choice(dna, int(n)))
+          for n in rng.integers(30, 90, 6)]
+    sb = ["".join(rng.choice(dna, int(n)))
+          for n in rng.integers(30, 90, 6)]
+
+    def stream(threshold):
+        monkeypatch.setattr(aligners, "_SW_DEVWALK_CANDS", threshold)
+        al = SmithWaterman()
+        return [[(h.score, h.pos_a, h.pos_b, h.result_a, h.result_b)
+                 for h in hs] for hs in al.align_batch(sa, sb)]
+
+    dev = stream(1 << 30)  # everything on the device walker
+    host = stream(0)       # everything on the host walk
+    assert dev == host
+    assert any(dev)  # the comparison is not vacuous
