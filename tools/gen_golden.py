@@ -77,7 +77,14 @@ def main():
             nw_ok = False
         if nw_ok:
             case("nw", m, mm, go, ge, fl, a, b)
-        if fl[:2] == "00":  # SW ignores free-end flags; skip redundant combos
+        # SW ignores no_START_gap (the is_sw boundary init is all-zero,
+        # alignment.c:51-57) but RESPECTS no_END_gap: the free last-col/
+        # last-row branches (alignment.c:121-155) are NOT gated on is_sw,
+        # so library embedders reach them even though the reference CLI
+        # rejects --freeendgap for sw (alignment_cmdline.c:263-267).
+        # Round 5: emit sw fixtures for those combos too (dedupe the
+        # nsg-only ones, which are fill-identical to plain sw).
+        if fl[0] == "0" or fl[1] == "1":
             case("sw", m, mm, go, ge, fl, a, b)
 
     # mixed-case sequences, case sensitive + insensitive
