@@ -185,7 +185,8 @@ def _bench_shape(sc, B, L, *, kind, is_sw, vs, lut_mode=False,
 def main():
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    explicit_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    if explicit_cpu:
         # the dev-machine hook writes jax_platforms=axon,cpu straight into
         # the config; honor an explicit CPU request even then (and avoid
         # touching a wedged tunnel at all)
@@ -197,6 +198,23 @@ def main():
     )
 
     on_cpu = jax.default_backend() == "cpu"
+    if on_cpu and not explicit_cpu:
+        # an accelerator was expected but backend init fell back to CPU
+        # (the axon tunnel dies occasionally — observed round 5).  The
+        # CPU smoke number (~0.01 GCUPS) must NEVER be reported as the
+        # chip headline: re-exec to retry a fresh backend init (the
+        # relay may come back), then fail LOUDLY.
+        left = int(os.environ.get("SEQALIGN_BENCH_TUNNEL_RETRIES", "10"))
+        if left > 0:
+            sys.stderr.write(
+                "bench: TPU backend unavailable, retrying in 60s "
+                "(%d attempts left)\n" % left)
+            os.environ["SEQALIGN_BENCH_TUNNEL_RETRIES"] = str(left - 1)
+            time.sleep(60)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        _fail_line("TPU backend unavailable (tunnel down); not reporting "
+                   "the CPU smoke number as the chip headline")
+        return
     nw = scoring_system_default()
     sw = scoring_system_sw_default()
 
